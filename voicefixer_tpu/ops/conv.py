@@ -1,0 +1,196 @@
+"""Convolution / pooling / normalization primitives with torch-parity
+semantics, in TPU-native channels-last layouts.
+
+Layouts: 1D activations are [B, W, C] (NWC), 2D are [B, H, W, C] (NHWC).
+Weights are stored in XLA-native layouts ([K, Cin, Cout] / [Kh, Kw, Cin, Cout]);
+`voicefixer_tpu.utils.weights` transposes from torch layouts at conversion time.
+
+Torch-parity notes:
+- ConvTranspose(k, s, p, output_padding=op) is expressed as an lhs-dilated
+  conv with spatially flipped kernel and padding (k-1-p, k-1-p+op); verified
+  against torch in tests/test_conv.py.
+- avg_pool2d uses VALID windows (torch floor mode drops trailing rows/cols).
+- batch_norm supports both inference (running stats) and training (batch
+  stats) because the reference's "mode 2" runs BN in train mode
+  (/root/reference/voicefixer/base.py:114-115).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PRECISION = lax.Precision.HIGHEST
+
+
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+           stride: int = 1, padding: int = 0, dilation: int = 1) -> jnp.ndarray:
+    """x: [B, W, Cin]; w: [K, Cin, Cout]; symmetric int padding like torch."""
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=_PRECISION,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+           stride=(1, 1), padding=(0, 0), dilation=(1, 1)) -> jnp.ndarray:
+    """x: [B, H, W, Cin]; w: [Kh, Kw, Cin, Cout]."""
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=tuple(stride),
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_PRECISION,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
+                     b: jnp.ndarray | None = None, stride: int = 1,
+                     padding: int = 0, output_padding: int = 0) -> jnp.ndarray:
+    """Torch ConvTranspose1d semantics via POLYPHASE decomposition.
+
+    x: [B, T, Cin]; w: [K, Cin, Cout] in torch kernel order (NOT flipped —
+    w[k] = torch_weight[:, :, k]). Output length = (T-1)*s - 2p + K + op.
+
+    Rationale: the naive formulation (lhs-dilated conv) inserts s-1 zeros
+    between samples, wasting (s-1)/s of the MACs and — empirically — hangs
+    or miscompiles on the axon TPU backend for stride 3. The polyphase form
+    z[q*s+rho] = sum_d x[q-d] @ W[rho + d*s] is D = ceil(K/s) dense batched
+    matmuls that tile straight onto the MXU with zero wasted work.
+    """
+    k, cin, cout = w.shape
+    s = stride
+    t = x.shape[1]
+    d_taps = -(-k // s)  # ceil(K/s)
+    # Wp[rho, d] = W[rho + d*s], zero-padded beyond K
+    wp = jnp.zeros((s, d_taps, cin, cout), dtype=w.dtype)
+    for rho in range(s):
+        for d in range(d_taps):
+            kk = rho + d * s
+            if kk < k:
+                wp = wp.at[rho, d].set(w[kk])
+    q_len = t + d_taps - 1
+    z = None
+    for d in range(d_taps):
+        # x[q - d] for q in [0, q_len): pad d zeros front, d_taps-1-d back
+        xd = jnp.pad(x, [(0, 0), (d, d_taps - 1 - d), (0, 0)])
+        zd = jnp.einsum("btc,rco->btro", xd, wp[:, d],
+                        precision=_PRECISION)
+        z = zd if z is None else z + zd
+    z = z.reshape(z.shape[0], q_len * s, cout)  # z[j] = z[q*s + rho]
+    out_len = (t - 1) * s - 2 * padding + k + output_padding
+    if padding + out_len > q_len * s:
+        z = jnp.pad(z, [(0, 0), (0, padding + out_len - q_len * s), (0, 0)])
+    y = z[:, padding: padding + out_len, :]
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray,
+                     b: jnp.ndarray | None = None, stride=(1, 1),
+                     padding=(0, 0), output_padding=(0, 0)) -> jnp.ndarray:
+    """Torch ConvTranspose2d semantics via 2D polyphase decomposition
+    (see conv_transpose1d). x: [B, H, W, Cin]; w: [Kh, Kw, Cin, Cout] in
+    torch kernel order (not flipped)."""
+    kh, kw, cin, cout = w.shape
+    sh, sw = stride
+    bsz, h, wd, _ = x.shape
+    dh_taps = -(-kh // sh)
+    dw_taps = -(-kw // sw)
+    wp = jnp.zeros((sh, sw, dh_taps, dw_taps, cin, cout), dtype=w.dtype)
+    for rh in range(sh):
+        for rw in range(sw):
+            for dh in range(dh_taps):
+                for dw in range(dw_taps):
+                    ih, iw = rh + dh * sh, rw + dw * sw
+                    if ih < kh and iw < kw:
+                        wp = wp.at[rh, rw, dh, dw].set(w[ih, iw])
+    qh_len = h + dh_taps - 1
+    qw_len = wd + dw_taps - 1
+    z = None
+    for dh in range(dh_taps):
+        for dw in range(dw_taps):
+            xd = jnp.pad(x, [(0, 0), (dh, dh_taps - 1 - dh),
+                             (dw, dw_taps - 1 - dw), (0, 0)])
+            zd = jnp.einsum("bhwc,rsco->bhwrso", xd, wp[:, :, dh, dw],
+                            precision=_PRECISION)
+            z = zd if z is None else z + zd
+    # [B, qh, qw, sh, sw, Cout] -> [B, qh*sh, qw*sw, Cout]
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(
+        bsz, qh_len * sh, qw_len * sw, cout)
+    out_h = (h - 1) * sh - 2 * padding[0] + kh + output_padding[0]
+    out_w = (wd - 1) * sw - 2 * padding[1] + kw + output_padding[1]
+    pad_h = max(0, padding[0] + out_h - qh_len * sh)
+    pad_w = max(0, padding[1] + out_w - qw_len * sw)
+    if pad_h or pad_w:
+        z = jnp.pad(z, [(0, 0), (0, pad_h), (0, pad_w), (0, 0)])
+    y = z[:, padding[0]: padding[0] + out_h,
+          padding[1]: padding[1] + out_w, :]
+    if b is not None:
+        y = y + b
+    return y
+
+
+def avg_pool2d(x: jnp.ndarray, window=(2, 2)) -> jnp.ndarray:
+    """torch F.avg_pool2d(kernel=window) on NHWC (floor mode == VALID)."""
+    y = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1, window[0], window[1], 1),
+        window_strides=(1, window[0], window[1], 1),
+        padding="VALID",
+    )
+    return y / (window[0] * window[1])
+
+
+def batch_norm(x: jnp.ndarray, params: dict, training: bool = False,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """Channel-last batch norm. params: gamma/beta/mean/var each [C].
+
+    training=True uses per-batch statistics over all non-channel axes
+    (biased variance, like torch's normalization in train mode) — this is the
+    reference's mode-2 behavior. Running stats are NOT updated (inference-only
+    framework; stochastic mode-2 parity does not require updates within a
+    single forward).
+    """
+    if training:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+    else:
+        mean, var = params["mean"], params["var"]
+    inv = lax.rsqrt(var + eps)
+    return (x - mean) * (inv * params["gamma"]) + params["beta"]
+
+
+def fold_batch_norm(params: dict, eps: float = 1e-5):
+    """Return (scale, shift) so that bn(x) == x*scale + shift in eval mode."""
+    inv = 1.0 / jnp.sqrt(params["var"] + eps)
+    scale = params["gamma"] * inv
+    shift = params["beta"] - params["mean"] * scale
+    return scale, shift
+
+
+def reflection_pad1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """nn.ReflectionPad1d on NWC layout (pads the W axis)."""
+    return jnp.pad(x, [(0, 0), (pad, pad), (0, 0)], mode="reflect")
+
+
+def leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def elu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.elu(x)

@@ -1,0 +1,162 @@
+"""STFT / ISTFT as MXU-friendly matmuls.
+
+The reference computes its STFT with torchlibrosa's frozen-conv DFT
+(`/root/reference/voicefixer/tools/modules/fDomainHelper.py:23-41`): center=True,
+reflect padding of n_fft//2 on both sides, periodic hann window, and an
+np.fft-convention DFT (real = sum x w cos, imag = -sum x w sin).
+
+On TPU the natural formulation is: frame the padded signal into overlapping
+windows `[T, n_fft]` and multiply by a precomputed windowed-DFT matrix
+`[n_fft, 2*(n_fft//2+1)]` — one large matmul that XLA tiles straight onto the
+MXU. The window is folded into the DFT matrix so framing + windowing + DFT is a
+single GEMM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicefixer_tpu.config import STFTConfig
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic hann window, matching scipy.signal.get_window('hann', N,
+    fftbins=True) which librosa/torchlibrosa use."""
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    return w.astype(dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def dft_matrices(n_fft: int, win_length: int, dtype=jnp.float32):
+    """Windowed DFT matrices W_re, W_im of shape [n_fft, n_freqs].
+
+    real[k] = sum_n x[n] w[n] cos(2 pi k n / N)
+    imag[k] = -sum_n x[n] w[n] sin(2 pi k n / N)   (np.fft sign convention)
+    """
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft  # [n_fft, n_freqs]
+    w = hann_window(win_length, dtype=np.float64)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        w = np.pad(w, (pad, n_fft - win_length - pad))
+    w_re = (np.cos(ang) * w[:, None]).astype(np.float32)
+    w_im = (-np.sin(ang) * w[:, None]).astype(np.float32)
+    return jnp.asarray(w_re, dtype=dtype), jnp.asarray(w_im, dtype=dtype)
+
+
+def num_frames(n_samples: int, cfg: STFTConfig) -> int:
+    if cfg.center:
+        padded = n_samples + 2 * (cfg.n_fft // 2)
+    else:
+        padded = n_samples
+    return (padded - cfg.n_fft) // cfg.hop_length + 1
+
+
+def frame_signal(x: jnp.ndarray, cfg: STFTConfig) -> jnp.ndarray:
+    """[..., n_samples] -> [..., T, n_fft] overlapping frames (after center
+    reflect-padding)."""
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pad_widths, mode=cfg.pad_mode)
+    n = x.shape[-1]
+    t = (n - cfg.n_fft) // cfg.hop_length + 1
+    idx = (np.arange(t)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :])  # [T, n_fft], static
+    return x[..., idx]
+
+
+def stft_real_imag(x: jnp.ndarray, cfg: STFTConfig):
+    """[..., n_samples] -> (real, imag) each [..., T, n_freqs]."""
+    frames = frame_signal(x, cfg)
+    w_re, w_im = dft_matrices(cfg.n_fft, cfg.win_length, dtype=frames.dtype)
+    real = jnp.matmul(frames, w_re, precision=jax.lax.Precision.HIGHEST)
+    imag = jnp.matmul(frames, w_im, precision=jax.lax.Precision.HIGHEST)
+    return real, imag
+
+
+def spectrogram(x: jnp.ndarray, cfg: STFTConfig, eps: float = 0.0) -> jnp.ndarray:
+    """Magnitude spectrogram: clamp(re^2 + im^2, eps)^0.5
+    (ref: fDomainHelper.py:77-79)."""
+    real, imag = stft_real_imag(x, cfg)
+    power = real * real + imag * imag
+    if eps > 0.0:
+        power = jnp.clip(power, min=eps)
+    return jnp.sqrt(power)
+
+
+def spectrogram_phase(x: jnp.ndarray, cfg: STFTConfig, eps: float = 1e-8):
+    """(mag, cos, sin) per ref fDomainHelper.py:81-86. Note eps clamps the
+    *power* before sqrt, matching the reference exactly."""
+    real, imag = stft_real_imag(x, cfg)
+    power = real * real + imag * imag
+    mag = jnp.sqrt(jnp.clip(power, min=eps))
+    return mag, real / mag, imag / mag
+
+
+def wav_to_spectrogram_phase(x: jnp.ndarray, cfg: STFTConfig, eps: float = 1e-8):
+    """[B, C, n_samples] -> (sp, cos, sin) each [B, C, T, n_freqs]
+    (ref: fDomainHelper.py:88-110). Channels are batched, not looped."""
+    return spectrogram_phase(x, cfg, eps=eps)
+
+
+@functools.lru_cache(maxsize=8)
+def idft_matrices(n_fft: int, win_length: int, dtype=jnp.float32):
+    """Inverse DFT matrices mapping [n_freqs] (real, imag) -> windowed time
+    frame [n_fft], matching librosa istft's per-frame irfft * window."""
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft  # [n_freqs, n_fft]
+    # irfft: x[n] = (1/N) * sum_k c_k (re[k] cos + (-im_sign) ...) with
+    # hermitian symmetry weights c_0 = c_{N/2} = 1, else 2.
+    c = np.full((n_freqs, 1), 2.0)
+    c[0] = 1.0
+    c[-1] = 1.0
+    w = hann_window(win_length, dtype=np.float64)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        w = np.pad(w, (pad, n_fft - win_length - pad))
+    m_re = (c * np.cos(ang) / n_fft * w[None, :]).astype(np.float32)
+    # imag stored with np.fft sign (negative); ifft uses -imag * sin term:
+    m_im = (-c * np.sin(ang) / n_fft * w[None, :]).astype(np.float32)
+    return jnp.asarray(m_re, dtype=dtype), jnp.asarray(m_im, dtype=dtype)
+
+
+def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
+          length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT via windowed overlap-add, librosa semantics (center=True).
+
+    real/imag: [..., T, n_freqs] in the np.fft sign convention used by
+    stft_real_imag. Returns [..., n_samples].
+    """
+    m_re, m_im = idft_matrices(cfg.n_fft, cfg.win_length, dtype=real.dtype)
+    frames = (jnp.matmul(real, m_re, precision=jax.lax.Precision.HIGHEST)
+              + jnp.matmul(imag, m_im, precision=jax.lax.Precision.HIGHEST))
+    t = frames.shape[-2]
+    total = cfg.n_fft + cfg.hop_length * (t - 1)
+    idx = (np.arange(t)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :]).reshape(-1)
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape(batch_shape + (-1,))
+    y = jnp.zeros(batch_shape + (total,), dtype=frames.dtype)
+    y = y.at[..., idx].add(flat)
+    # window-squared normalization
+    w = hann_window(cfg.win_length, dtype=np.float64)
+    wsq = np.zeros(total)
+    for ti in range(t):
+        wsq[ti * cfg.hop_length: ti * cfg.hop_length + cfg.n_fft] += w * w
+    wsq = np.where(wsq > 1e-10, wsq, 1.0).astype(np.float32)
+    y = y / jnp.asarray(wsq, dtype=frames.dtype)
+    if cfg.center:
+        y = y[..., cfg.n_fft // 2: total - cfg.n_fft // 2]
+    if length is not None:
+        y = y[..., :length]
+    return y
