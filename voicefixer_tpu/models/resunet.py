@@ -1,0 +1,144 @@
+"""6-encoder/6-decoder residual U-Net over log-mel spectrograms (65.15 M
+params).
+
+Reference: /root/reference/voicefixer/restorer/model_kqq_bn.py:6-181 and
+restorer/modules.py:7-157.
+
+TPU design: NHWC layout [B, T, F, C]; every ConvBlockRes is
+bn -> leaky(0.01) -> 3x3 conv -> bn -> leaky -> 3x3 conv (+ residual), which
+XLA fuses into implicit-GEMM convs on the MXU. Decoder upsampling is the
+polyphase transposed conv from ops.conv (no lhs_dilation). Inference BN is
+pre-folded into scale/shift when training=False.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicefixer_tpu.config import ResUNetConfig
+from voicefixer_tpu.ops.conv import (avg_pool2d, batch_norm, conv2d,
+                                     conv_transpose2d, leaky_relu)
+
+
+def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
+                    training: bool) -> jnp.ndarray:
+    """ConvBlockRes (modules.py:7-76): two bn-lrelu-conv3x3 + residual."""
+    origin = x
+    h = batch_norm(x, params["bn1"], training)
+    h = conv2d(leaky_relu(h, slope), params["conv1"]["w"], padding=(1, 1))
+    h = batch_norm(h, params["bn2"], training)
+    h = conv2d(leaky_relu(h, slope), params["conv2"]["w"], padding=(1, 1))
+    if "shortcut" in params:
+        return conv2d(origin, params["shortcut"]["w"],
+                      params["shortcut"]["b"]) + h
+    return origin + h
+
+
+def _encoder_block(params: dict, x: jnp.ndarray, slope: float,
+                   training: bool):
+    """EncoderBlockRes (modules.py:79-104): 4 conv blocks + 2x2 avg pool."""
+    for i in range(4):
+        x = _conv_block_res(params[f"block{i + 1}"], x, slope, training)
+    return avg_pool2d(x), x
+
+
+def _decoder_block(params: dict, x: jnp.ndarray, skip: jnp.ndarray,
+                   slope: float, training: bool) -> jnp.ndarray:
+    """DecoderBlockRes (modules.py:107-157): bn-relu-convT(k3,s2), prune last
+    time row, concat skip, 4 conv blocks."""
+    h = batch_norm(x, params["bn1"], training)
+    h = conv_transpose2d(jax.nn.relu(h), params["conv1"]["w"], stride=(2, 2))
+    h = h[:, :-1, :, :]  # prune(both=False): drop last time row
+    h = jnp.concatenate([h, skip], axis=-1)
+    for i in range(4):
+        h = _conv_block_res(params[f"block{i + 2}"], h, slope, training)
+    return h
+
+
+def apply(params: dict, x: jnp.ndarray, cfg: ResUNetConfig,
+          training: bool = False) -> jnp.ndarray:
+    """x: [B, T, F=128, C=2] log-mel stack. Returns [B, T, 128, 1].
+
+    Follows UNetResComplex_100Mb.forward (model_kqq_bn.py:130-181): pad T to
+    a multiple of 64 with zeros, drop the last freq bin, run the U-Net,
+    zero-pad freq back and crop T.
+    """
+    slope = cfg.leaky_slope
+    origin_t = x.shape[1]
+    pad_len = int(np.ceil(origin_t / cfg.downsample_ratio)
+                  ) * cfg.downsample_ratio - origin_t
+    x = jnp.pad(x, [(0, 0), (0, pad_len), (0, 0), (0, 0)])
+    x = x[:, :, : x.shape[2] - 1, :]  # [B, T', 127, C]
+
+    skips = []
+    h = x
+    for i in range(6):
+        h, pre = _encoder_block(params[f"enc{i + 1}"], h, slope, training)
+        skips.append(pre)
+    h = _conv_block_res(params["center"], h, slope, training)
+    for i in range(6):
+        h = _decoder_block(params[f"dec{i + 1}"], h, skips[5 - i], slope,
+                           training)
+    h = _conv_block_res(params["after1"], h, slope, training)
+    h = conv2d(h, params["after2"]["w"], params["after2"]["b"])
+    h = jnp.pad(h, [(0, 0), (0, 0), (0, 1), (0, 0)])  # restore freq bin
+    return h[:, :origin_t, :, :]
+
+
+def _channel_plan(cfg: ResUNetConfig):
+    enc = [(cfg.in_channels, cfg.encoder_channels[0])]
+    for i in range(1, 6):
+        enc.append((cfg.encoder_channels[i - 1], cfg.encoder_channels[i]))
+    # decoder: (in, out) mirrors encoder (model_kqq_bn.py:65-106)
+    dec = [(384, 384), (384, 384), (384, 256), (256, 128), (128, 64),
+           (64, 32)]
+    return enc, dec
+
+
+def init(key, cfg: ResUNetConfig, dtype=jnp.float32) -> dict:
+    def bn(c):
+        return {"gamma": jnp.ones((c,), dtype), "beta": jnp.zeros((c,), dtype),
+                "mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+
+    kit = iter(jax.random.split(key, 400))
+
+    def conv_w(ci, co, k=3):
+        scale = float(np.sqrt(6.0 / ((ci + co) * k * k)))
+        return {"w": jax.random.uniform(next(kit), (k, k, ci, co), dtype,
+                                        -scale, scale)}
+
+    def conv_block(ci, co):
+        p = {"bn1": bn(ci), "conv1": conv_w(ci, co), "bn2": bn(co),
+             "conv2": conv_w(co, co)}
+        if ci != co:
+            s = conv_w(ci, co, 1)
+            s["b"] = jnp.zeros((co,), dtype)
+            p["shortcut"] = s
+        return p
+
+    enc_plan, dec_plan = _channel_plan(cfg)
+    params = {}
+    for i, (ci, co) in enumerate(enc_plan):
+        params[f"enc{i + 1}"] = {
+            "block1": conv_block(ci, co),
+            "block2": conv_block(co, co),
+            "block3": conv_block(co, co),
+            "block4": conv_block(co, co),
+        }
+    params["center"] = conv_block(cfg.center_channels, cfg.center_channels)
+    for i, (ci, co) in enumerate(dec_plan):
+        params[f"dec{i + 1}"] = {
+            "bn1": bn(ci),
+            "conv1": conv_w(ci, co),  # transposed conv [3,3,ci,co]
+            "block2": conv_block(2 * co, co),
+            "block3": conv_block(co, co),
+            "block4": conv_block(co, co),
+            "block5": conv_block(co, co),
+        }
+    params["after1"] = conv_block(32, 32)
+    a2 = conv_w(32, 1, 1)
+    a2["b"] = jnp.zeros((1,), dtype)
+    params["after2"] = a2
+    return params

@@ -1,0 +1,106 @@
+"""TFGAN-style 441x upsampling neural vocoder generator (33.88 M params).
+
+Reference: /root/reference/voicefixer/vocoder/model/generator.py:12-145 and
+vocoder/model/modules.py:433-609. Only the *executed* inference path is
+implemented: condnet (5x conv k3 + ELU), pre-conv k7, four
+(UpsampleNet -> ResStack(depth 8) -> leaky 0.2) stages with scales
+(7, 7, 3, 3), post-conv k7, tanh.
+
+Deliberate non-replications (all dead at inference):
+- UpsampleNet's skip_conv branch is computed then DISCARDED by the reference
+  (modules.py:506-517, no_skip=True); we never compute it.
+- SineGen / smoothing / WaveNet / shift-scale paths are gated off by Config
+  (use_sine=False etc.) and are not ported.
+
+TPU design: NWC layout [B, T, C]; the transposed convs use the polyphase
+formulation (ops.conv) — s dense matmuls instead of an lhs-dilated conv —
+and the dilated ResStack convs are standard rhs-dilated convs that XLA maps
+to implicit GEMM. All weight-norm parametrizations are folded into plain
+kernels at conversion time (utils/weights.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicefixer_tpu.config import VocoderConfig
+from voicefixer_tpu.ops.conv import (conv1d, conv_transpose1d, elu,
+                                     leaky_relu, reflection_pad1d)
+
+
+def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
+               ) -> jnp.ndarray:
+    """ResStack (modules.py:531-595): depth-8 dilated residual conv pairs,
+    dilations 3^(i%10)."""
+    for i, layer in enumerate(params):
+        dil = 3 ** (i % 10)
+        pad = (kernel * dil - dil) // 2
+        h = leaky_relu(x, slope)
+        h = conv1d(h, layer["c1"]["w"], layer["c1"]["b"], padding=pad,
+                   dilation=dil)
+        h = leaky_relu(h, slope)
+        h = conv1d(h, layer["c2"]["w"], layer["c2"]["b"],
+                   padding=(kernel - 1) // 2)
+        x = x + h
+    return x
+
+
+def _upsample(params: dict, x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """UpsampleNet effective path (modules.py:501-517 with org=False,
+    no_skip=True): x + sin(x), then ConvTranspose1d(k=2s, stride=s,
+    p=s//2+s%2, op=s%2)."""
+    x = x + jnp.sin(x)
+    return conv_transpose1d(x, params["w"], params["b"], stride=scale,
+                            padding=scale // 2 + scale % 2,
+                            output_padding=scale % 2)
+
+
+def apply(params: dict, mel: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
+    """mel: [B, T, n_mels] (normalized, +-4 domain, tail-padded).
+    Returns waveform [B, T*441, 1] in [-1, 1]."""
+    x = mel
+    # condnet: 5x (conv k3 pad1 + ELU) (generator.py:33-54)
+    for layer in params["condnet"]:
+        x = elu(conv1d(x, layer["w"], layer["b"], padding=1))
+    # pre conv: reflection pad 3 + k7 (generator.py:74-76)
+    x = conv1d(reflection_pad1d(x, 3), params["pre"]["w"], params["pre"]["b"])
+    x = leaky_relu(x, cfg.leaky_slope_act)
+    for i, stage in enumerate(params["stages"]):
+        x = _upsample(stage["up"], x, cfg.upsample_scales[i])
+        x = _res_stack(stage["res"], x, cfg.resstack_kernel[i],
+                       cfg.leaky_slope_res)
+        x = leaky_relu(x, cfg.leaky_slope_act)
+    x = conv1d(reflection_pad1d(x, 3), params["post"]["w"],
+               params["post"]["b"])
+    return jnp.tanh(x)
+
+
+def init(key, cfg: VocoderConfig, dtype=jnp.float32) -> dict:
+    kit = iter(jax.random.split(key, 200))
+
+    def conv(ci, co, k):
+        scale = float(np.sqrt(1.0 / (ci * k)))
+        return {"w": jax.random.uniform(next(kit), (k, ci, co), dtype,
+                                        -scale, scale),
+                "b": jnp.zeros((co,), dtype)}
+
+    ch = cfg.channels
+    params = {
+        "condnet": [conv(cfg.in_channels if i == 0 else cfg.cond_channels,
+                         cfg.cond_channels, 3) for i in range(5)],
+        "pre": conv(cfg.cond_channels, ch, 7),
+        "stages": [],
+        "post": conv(ch // 16, cfg.out_channels, 7),
+    }
+    for i, s in enumerate(cfg.upsample_scales):
+        ci, co = ch // (2 ** i), ch // (2 ** (i + 1))
+        stage = {
+            "up": conv(ci, co, 2 * s),
+            "res": [{"c1": conv(co, co, cfg.resstack_kernel[i]),
+                     "c2": conv(co, co, cfg.resstack_kernel[i])}
+                    for _ in range(cfg.resstack_depth[i])],
+        }
+        params["stages"].append(stage)
+    return params
