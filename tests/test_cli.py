@@ -1,0 +1,91 @@
+"""CLI driver tests (ref flag surface: /root/reference/voicefixer/__main__.py
+:73-127). Model loading is faked so these only exercise the arg/IO logic."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from voicefixer_tpu import __main__ as cli
+
+
+class FakeVoiceFixer:
+    def __init__(self, **kwargs):
+        self.calls = []
+
+    def restore(self, input, output, mode=0, seed=0, **kw):
+        self.calls.append((input, output, mode))
+        from voicefixer_tpu.utils import audio_io
+        wav = audio_io.load_wav(input, 44100)
+        audio_io.save_wave(wav, output, 44100)
+
+
+@pytest.fixture
+def fake_vf(monkeypatch):
+    import voicefixer_tpu.pipeline.restore as restore_mod
+    monkeypatch.setattr(restore_mod, "VoiceFixer", FakeVoiceFixer)
+    return FakeVoiceFixer
+
+
+def _make_wav(path, n=4410):
+    wav = (np.sin(np.linspace(0, 100, n)) * 0.5).astype(np.float32)
+    wavfile.write(str(path), 44100, (wav * 32767).astype(np.int16))
+    return str(path)
+
+
+def test_single_file(fake_vf, tmp_path, capsys):
+    inp = _make_wav(tmp_path / "in.wav")
+    out = str(tmp_path / "out.wav")
+    assert cli.main(["-i", inp, "-o", out]) == 0
+    assert os.path.exists(out)
+    assert "Restoration took" in capsys.readouterr().out
+
+
+def test_mode_all_writes_three_files(fake_vf, tmp_path):
+    inp = _make_wav(tmp_path / "in.wav")
+    out = str(tmp_path / "out.wav")
+    cli.main(["-i", inp, "-o", out, "--mode", "all", "--silent"])
+    for k in range(3):
+        assert os.path.exists(str(tmp_path / f"out-mode{k}.wav")), k
+
+
+def test_folder_mode(fake_vf, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _make_wav(indir / "a.wav")
+    _make_wav(indir / "b.wav")
+    (indir / "ignore.txt").write_text("x")
+    outdir = str(tmp_path / "out")
+    cli.main(["-ifdr", str(indir), "-ofdr", outdir, "--silent"])
+    assert sorted(os.listdir(outdir)) == ["a.wav", "b.wav"]
+
+
+def test_flac_input_accepted(fake_vf, tmp_path):
+    out = str(tmp_path / "o.wav")
+    cli.main(["-i", "/root/reference/test/utterance/original/original.flac",
+              "-o", out, "--silent"])
+    assert os.path.exists(out)
+
+
+def test_missing_input_rejected(fake_vf):
+    with pytest.raises(SystemExit):
+        cli.main([])
+
+
+def test_nonexistent_infile_rejected(fake_vf):
+    with pytest.raises(SystemExit):
+        cli.main(["-i", "/nonexistent.wav"])
+
+
+def test_bad_outfile_extension_rejected(fake_vf, tmp_path):
+    inp = _make_wav(tmp_path / "in.wav")
+    with pytest.raises(SystemExit):
+        cli.main(["-i", inp, "-o", str(tmp_path / "out.mp3")])
+
+
+def test_unsupported_input_extension_rejected(fake_vf, tmp_path):
+    bad = tmp_path / "x.mp3"
+    bad.write_bytes(b"\x00")
+    with pytest.raises(SystemExit):
+        cli.main(["-i", str(bad), "-o", str(tmp_path / "o.wav")])

@@ -1,0 +1,165 @@
+"""Pipeline glue tests: chunking, modes 0/1/2, trim/length contracts,
+vocoder facade layouts, and the mode-1 high-frequency removal vs a numpy
+reimplementation of the reference algorithm (base.py:87-104).
+
+Uses a scaled-down config (tiny channels) so CPU jit compile stays fast;
+numerical parity of the full-size models is covered by test_model_parity.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicefixer_tpu.config import (DenoiserConfig, PipelineConfig,
+                                   ResUNetConfig, VocoderConfig,
+                                   VoiceFixerConfig)
+from voicefixer_tpu.ops import stft as vstft
+from voicefixer_tpu.pipeline.restore import VoiceFixer, remove_higher_frequency
+from voicefixer_tpu.pipeline.vocoder_facade import Vocoder
+
+
+def tiny_config() -> VoiceFixerConfig:
+    return VoiceFixerConfig(
+        denoiser=DenoiserConfig(),
+        unet=ResUNetConfig(encoder_channels=(4, 4, 4, 4, 4, 4),
+                           center_channels=4),
+        vocoder=VocoderConfig(cond_channels=16, channels=32),
+        pipeline=PipelineConfig(seg_length_seconds=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def vf():
+    return VoiceFixer.random(0, config=tiny_config())
+
+
+def test_restore_inmem_single_chunk(vf):
+    wav = np.random.default_rng(0).standard_normal(22050).astype(np.float32)
+    out = vf.restore_inmem(wav, mode=0)
+    assert out.shape == wav.shape
+    assert np.isfinite(out).all()
+
+
+def test_restore_inmem_multi_chunk_length(vf):
+    """2.5 segments -> 3 chunks, concatenated to the input length
+    (base.py:117-138)."""
+    n = int(44100 * 2.5)
+    wav = np.random.default_rng(1).standard_normal(n).astype(np.float32) * 0.1
+    out = vf.restore_inmem(wav, mode=0)
+    assert out.shape == (n,)
+
+
+def test_chunking_matches_reference_loop(vf):
+    """Chunked restore of a long wav == concatenation of independent chunk
+    restores (the reference has no cross-chunk state, base.py:116-138)."""
+    seg = vf.config.pipeline.seg_length
+    wav = np.random.default_rng(2).standard_normal(seg + 4410).astype(
+        np.float32) * 0.1
+    full = vf.restore_inmem(wav, mode=0)
+    parts = [vf.restore_inmem(wav[:seg], mode=0),
+             vf.restore_inmem(wav[seg:], mode=0)]
+    np.testing.assert_allclose(full, np.concatenate(parts), atol=1e-5)
+
+
+def test_mode1_output_shorter(vf):
+    """Mode-1 ISTFT returns hop*(T-1) samples per chunk (librosa istft
+    semantics), so output is slightly shorter than input — matching the
+    reference's golden output_mode_1.flac being 132096 != 132300 samples."""
+    n = 22050
+    wav = np.random.default_rng(3).standard_normal(n).astype(np.float32) * 0.1
+    out = vf.restore_inmem(wav, mode=1)
+    hop = vf.config.stft.n_fft // 4
+    assert out.shape == ((n // hop) * hop,)
+
+
+def test_mode2_deterministic_given_seed(vf):
+    wav = np.random.default_rng(4).standard_normal(11025).astype(
+        np.float32) * 0.1
+    a = vf.restore_inmem(wav, mode=2, seed=7)
+    b = vf.restore_inmem(wav, mode=2, seed=7)
+    c = vf.restore_inmem(wav, mode=2, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_custom_vocoder_func(vf):
+    """your_vocoder_func receives [B, 1, T, 128] linear mel and replaces the
+    synthesis stage (base.py:126-129)."""
+    seen = {}
+
+    def fake_vocoder(mel):
+        seen["shape"] = mel.shape
+        return np.zeros((1, 1, int(mel.shape[2]) * 441), dtype=np.float32)
+
+    wav = np.random.default_rng(5).standard_normal(11025).astype(np.float32)
+    out = vf.restore_inmem(wav, mode=0, your_vocoder_func=fake_vocoder)
+    assert seen["shape"][0:2] == (1, 1) and seen["shape"][3] == 128
+    assert out.shape == wav.shape
+    assert np.all(out == 0)
+
+
+def test_remove_higher_frequency_matches_numpy(vf):
+    """JAX mode-1 transform == numpy transcription of the reference
+    algorithm (same STFT convention)."""
+    cfg = vf.config
+    n = 8192
+    rng = np.random.default_rng(6)
+    # lowpass-ish signal so the cutoff lands mid-spectrum
+    t = np.arange(n) / 44100
+    wav = (np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+           ).astype(np.float32)
+
+    out = np.asarray(remove_higher_frequency(jnp.asarray(wav), cfg))
+
+    # numpy reference (base.py:87-104) using our matmul STFT for the
+    # transform itself
+    scfg = dataclasses.replace(cfg.stft, hop_length=cfg.stft.n_fft // 4,
+                               pad_mode="constant")
+    real, imag = (np.asarray(v[0]) for v in
+                  vstft.stft_real_imag(jnp.asarray(wav)[None], scfg))
+    mag = np.sqrt(real ** 2 + imag ** 2)
+    cos, sin = real / (mag + 1e-8), imag / (mag + 1e-8)
+    feature = np.log10(mag + 1e-8)
+    feature[feature < 0] = 0
+    energy_level = np.sum(feature, axis=0)
+    threshold = np.sum(energy_level) * 0.95
+    current, i = energy_level[0], 0
+    while i < energy_level.shape[0] and current < threshold:
+        current += energy_level[i + 1]
+        i += 1
+    mag[:, i:] = 0.0
+    ref = np.asarray(vstft.istft(jnp.asarray(mag * cos)[None],
+                                 jnp.asarray(mag * sin)[None], scfg)[0])
+    assert 0 < i < energy_level.shape[0] - 1  # cutoff is non-trivial
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_vocoder_facade_layouts():
+    voc = Vocoder.random(0, config=tiny_config())
+    mel = np.random.default_rng(7).random((1, 1, 20, 128)).astype(np.float32)
+    w4 = voc.forward(mel)
+    w3 = voc.forward(mel[:, 0])
+    assert w4.shape[0:2] == (1, 1)
+    # T=20 even -> pad 0%2+4=4 frames -> (20+4)*441 samples
+    assert w4.shape[2] == (20 + 4) * 441
+    np.testing.assert_array_equal(w4, w3)
+
+
+def test_vocoder_rejects_wrong_rate():
+    with pytest.raises(RuntimeError):
+        Vocoder(sample_rate=24000, params={})
+
+
+def test_oracle_runs(tmp_path):
+    voc = Vocoder.random(0, config=tiny_config())
+    out_path = str(tmp_path / "oracle.wav")
+    out = voc.oracle(
+        "/root/reference/test/utterance/original/p360_001_mic1.flac",
+        out_path)
+    # 96076 samples -> T=218+1=219 frames (hop 441), odd -> pad 5 -> 224*441
+    from voicefixer_tpu.utils import audio_io
+    sr, saved = audio_io.read_audio(out_path)
+    assert sr == 44100
+    assert out.shape[1] == saved.shape[0]

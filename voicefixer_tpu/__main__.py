@@ -1,0 +1,168 @@
+"""CLI driver mirroring the reference's flag surface
+(/root/reference/voicefixer/__main__.py:69-219):
+
+    voicefixer_tpu -i in.wav -o out.wav --mode {0,1,2,all}
+    voicefixer_tpu -ifdr folder -ofdr outfolder
+
+Differences from the reference (documented, deliberate):
+- FLAC inputs are accepted in addition to WAV (we bundle a decoder).
+- Outputs are always WAV containers (no libsndfile in the runtime), so the
+  outfile extension must be .wav.
+- `--weight_prepare` downloads AND converts the checkpoints to the JAX npz
+  cache (the reference merely triggers its import-time download).
+- `--disable-cuda` is accepted and ignored: JAX owns device placement.
+- `--seed` makes mode 2 deterministic (the reference's mode 2 is stochastic).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+AUDIO_EXTS = (".wav", ".flac")
+
+
+def writefile(voicefixer, infile: str, outfile: str, mode, append_mode: bool,
+              seed: int, verbose: bool = False):
+    """Process one file; mode `all` callers pass append_mode=True to get
+    `<base>-mode{k}<ext>` names (ref: __main__.py:13-27)."""
+    if append_mode:
+        outbasename, outext = os.path.splitext(os.path.basename(outfile))
+        outfile = os.path.join(
+            os.path.dirname(outfile), f"{outbasename}-mode{mode}{outext}")
+    if verbose:
+        print(f"Processing {infile}, mode={mode}")
+    start = time.time()
+    voicefixer.restore(input=infile, output=outfile, mode=int(mode),
+                       seed=seed)
+    print(f"Restoration took {round(time.time() - start, 1)} s")
+
+
+def check_output_format(outfile: str):
+    ext = os.path.splitext(outfile)[-1]
+    if not ext:
+        raise SystemExit("Error: A file-extension for the outfile is "
+                         "missing.")
+    if ext.lower() != ".wav":
+        raise SystemExit(f"Error: Unsupported output format {ext} — this "
+                         "build writes WAV containers only.")
+
+
+def check_arguments(args):
+    process_file = len(args.infile) != 0
+    process_folder = len(args.infolder) != 0
+    if not (process_file or process_folder):
+        raise SystemExit(
+            "Error: You need to specify an input file path (--infile) or an "
+            "input folder path (--infolder) to proceed. For more information "
+            "please run: voicefixer_tpu -h")
+    if process_file:
+        if not os.path.exists(args.infile):
+            raise SystemExit(f"Error: The input file {args.infile} is not "
+                             "found.")
+        output_dirname = os.path.dirname(args.outfile)
+        if len(output_dirname) > 1:
+            os.makedirs(output_dirname, exist_ok=True)
+        check_output_format(args.outfile)
+    if process_folder:
+        if not os.path.exists(args.infolder):
+            raise SystemExit(f"Error: The input folder {args.infolder} is "
+                             "not found.")
+        if len(args.outfolder) > 1:
+            os.makedirs(args.outfolder, exist_ok=True)
+    return process_file, process_folder
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="voicefixer_tpu",
+        description="VoiceFixer (TPU-native) — restores degraded speech")
+    parser.add_argument("-i", "--infile", type=str, default="",
+                        help="An input file to be processed.")
+    parser.add_argument("-o", "--outfile", type=str, default="outfile.wav",
+                        help="An output file to store the result.")
+    parser.add_argument("-ifdr", "--infolder", type=str, default="",
+                        help="Input folder of wav/flac files to process.")
+    parser.add_argument("-ofdr", "--outfolder", type=str, default="outfolder",
+                        help="Output folder for processed files.")
+    parser.add_argument("--mode", choices=["0", "1", "2", "all"], default="0",
+                        help="0: original model (default), 1: add "
+                             "preprocessing (remove higher frequencies), "
+                             "2: train mode (batch-stats BN + dropout), "
+                             "all: one output wav per mode.")
+    parser.add_argument("--disable-cuda", default=False, action="store_true",
+                        help="Accepted for reference compatibility; ignored "
+                             "(JAX owns device placement).")
+    parser.add_argument("--silent", default=False, action="store_true",
+                        help="Suppress progress messages.")
+    parser.add_argument("--weight_prepare", default=False,
+                        action="store_true",
+                        help="Only download + convert the model weights, "
+                             "then exit.")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for mode 2 (deterministic, unlike "
+                             "the reference).")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="Analysis checkpoint path (npz or torch vf.ckpt)")
+    parser.add_argument("--vocoder-ckpt", type=str, default=None,
+                        help="Vocoder checkpoint path (npz or torch .pt)")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from voicefixer_tpu.utils import compile_cache
+    compile_cache.enable()
+
+    if args.weight_prepare:
+        from voicefixer_tpu.pipeline import checkpoints
+        checkpoints.load_analysis_params(args.ckpt)
+        checkpoints.load_vocoder_params(args.vocoder_ckpt)
+        return 0
+
+    process_file, process_folder = check_arguments(args)
+
+    if not args.silent:
+        print("Initializing VoiceFixer")
+    from voicefixer_tpu.pipeline.restore import VoiceFixer
+    voicefixer = VoiceFixer(ckpt=args.ckpt, vocoder_ckpt=args.vocoder_ckpt)
+
+    modes = range(3) if args.mode == "all" else [args.mode]
+    append = args.mode == "all"
+
+    if process_file:
+        audioext = os.path.splitext(os.path.basename(args.infile))[-1]
+        if audioext.lower() not in AUDIO_EXTS:
+            raise SystemExit(
+                f"Error: unsupported input format {audioext}; supported: "
+                f"{', '.join(AUDIO_EXTS)}.")
+        if not args.silent:
+            print(f"Start processing the input file {args.infile}.")
+        for m in modes:
+            writefile(voicefixer, args.infile, args.outfile, m, append,
+                      args.seed, verbose=not args.silent)
+
+    if process_folder:
+        files = [f for f in sorted(os.listdir(args.infolder))
+                 if os.path.splitext(f)[-1].lower() in AUDIO_EXTS]
+        if not args.silent:
+            print(f"Found {len(files)} audio files in the input folder "
+                  f"{args.infolder}. Start processing.")
+        for f in files:
+            in_file = os.path.join(args.infolder, f)
+            base = os.path.splitext(f)[0]
+            out_file = os.path.join(args.outfolder, base + ".wav")
+            for m in modes:
+                writefile(voicefixer, in_file, out_file, m, append,
+                          args.seed, verbose=not args.silent)
+
+    if not args.silent:
+        print("Done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

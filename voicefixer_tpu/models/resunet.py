@@ -91,9 +91,12 @@ def _channel_plan(cfg: ResUNetConfig):
     enc = [(cfg.in_channels, cfg.encoder_channels[0])]
     for i in range(1, 6):
         enc.append((cfg.encoder_channels[i - 1], cfg.encoder_channels[i]))
-    # decoder: (in, out) mirrors encoder (model_kqq_bn.py:65-106)
-    dec = [(384, 384), (384, 384), (384, 256), (256, 128), (128, 64),
-           (64, 32)]
+    # decoder (in, out) mirrors the encoder (model_kqq_bn.py:65-106):
+    # outs are the encoder channels reversed, ins chain from the center block
+    dec, prev = [], cfg.center_channels
+    for out in reversed(cfg.encoder_channels):
+        dec.append((prev, out))
+        prev = out
     return enc, dec
 
 
@@ -137,8 +140,9 @@ def init(key, cfg: ResUNetConfig, dtype=jnp.float32) -> dict:
             "block4": conv_block(co, co),
             "block5": conv_block(co, co),
         }
-    params["after1"] = conv_block(32, 32)
-    a2 = conv_w(32, 1, 1)
+    c0 = cfg.encoder_channels[0]
+    params["after1"] = conv_block(c0, c0)
+    a2 = conv_w(c0, 1, 1)
     a2["b"] = jnp.zeros((1,), dtype)
     params["after2"] = a2
     return params

@@ -32,8 +32,10 @@ def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def dft_matrices(n_fft: int, win_length: int, dtype=jnp.float32):
-    """Windowed DFT matrices W_re, W_im of shape [n_fft, n_freqs].
+def dft_matrices(n_fft: int, win_length: int):
+    """Windowed DFT matrices W_re, W_im of shape [n_fft, n_freqs] (numpy —
+    converted to device constants at the call site so nothing traced is ever
+    cached).
 
     real[k] = sum_n x[n] w[n] cos(2 pi k n / N)
     imag[k] = -sum_n x[n] w[n] sin(2 pi k n / N)   (np.fft sign convention)
@@ -48,7 +50,7 @@ def dft_matrices(n_fft: int, win_length: int, dtype=jnp.float32):
         w = np.pad(w, (pad, n_fft - win_length - pad))
     w_re = (np.cos(ang) * w[:, None]).astype(np.float32)
     w_im = (-np.sin(ang) * w[:, None]).astype(np.float32)
-    return jnp.asarray(w_re, dtype=dtype), jnp.asarray(w_im, dtype=dtype)
+    return w_re, w_im
 
 
 def num_frames(n_samples: int, cfg: STFTConfig) -> int:
@@ -76,9 +78,11 @@ def frame_signal(x: jnp.ndarray, cfg: STFTConfig) -> jnp.ndarray:
 def stft_real_imag(x: jnp.ndarray, cfg: STFTConfig):
     """[..., n_samples] -> (real, imag) each [..., T, n_freqs]."""
     frames = frame_signal(x, cfg)
-    w_re, w_im = dft_matrices(cfg.n_fft, cfg.win_length, dtype=frames.dtype)
-    real = jnp.matmul(frames, w_re, precision=jax.lax.Precision.HIGHEST)
-    imag = jnp.matmul(frames, w_im, precision=jax.lax.Precision.HIGHEST)
+    w_re, w_im = dft_matrices(cfg.n_fft, cfg.win_length)
+    real = jnp.matmul(frames, jnp.asarray(w_re, dtype=frames.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+    imag = jnp.matmul(frames, jnp.asarray(w_im, dtype=frames.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
     return real, imag
 
 
@@ -108,9 +112,9 @@ def wav_to_spectrogram_phase(x: jnp.ndarray, cfg: STFTConfig, eps: float = 1e-8)
 
 
 @functools.lru_cache(maxsize=8)
-def idft_matrices(n_fft: int, win_length: int, dtype=jnp.float32):
+def idft_matrices(n_fft: int, win_length: int):
     """Inverse DFT matrices mapping [n_freqs] (real, imag) -> windowed time
-    frame [n_fft], matching librosa istft's per-frame irfft * window."""
+    frame [n_fft] (numpy), matching librosa istft's per-frame irfft * window."""
     n_freqs = n_fft // 2 + 1
     n = np.arange(n_fft, dtype=np.float64)
     k = np.arange(n_freqs, dtype=np.float64)
@@ -127,7 +131,7 @@ def idft_matrices(n_fft: int, win_length: int, dtype=jnp.float32):
     m_re = (c * np.cos(ang) / n_fft * w[None, :]).astype(np.float32)
     # imag stored with np.fft sign (negative); ifft uses -imag * sin term:
     m_im = (-c * np.sin(ang) / n_fft * w[None, :]).astype(np.float32)
-    return jnp.asarray(m_re, dtype=dtype), jnp.asarray(m_im, dtype=dtype)
+    return m_re, m_im
 
 
 def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
@@ -137,9 +141,11 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
     real/imag: [..., T, n_freqs] in the np.fft sign convention used by
     stft_real_imag. Returns [..., n_samples].
     """
-    m_re, m_im = idft_matrices(cfg.n_fft, cfg.win_length, dtype=real.dtype)
-    frames = (jnp.matmul(real, m_re, precision=jax.lax.Precision.HIGHEST)
-              + jnp.matmul(imag, m_im, precision=jax.lax.Precision.HIGHEST))
+    m_re, m_im = idft_matrices(cfg.n_fft, cfg.win_length)
+    frames = (jnp.matmul(real, jnp.asarray(m_re, dtype=real.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+              + jnp.matmul(imag, jnp.asarray(m_im, dtype=imag.dtype),
+                           precision=jax.lax.Precision.HIGHEST))
     t = frames.shape[-2]
     total = cfg.n_fft + cfg.hop_length * (t - 1)
     idx = (np.arange(t)[:, None] * cfg.hop_length
