@@ -12,22 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from voicefixer_tpu.config import (DenoiserConfig, PipelineConfig,
-                                   ResUNetConfig, VocoderConfig,
-                                   VoiceFixerConfig)
+from voicefixer_tpu.config import tiny_test_config as tiny_config
 from voicefixer_tpu.ops import stft as vstft
 from voicefixer_tpu.pipeline.restore import VoiceFixer, remove_higher_frequency
 from voicefixer_tpu.pipeline.vocoder_facade import Vocoder
-
-
-def tiny_config() -> VoiceFixerConfig:
-    return VoiceFixerConfig(
-        denoiser=DenoiserConfig(),
-        unet=ResUNetConfig(encoder_channels=(4, 4, 4, 4, 4, 4),
-                           center_channels=4),
-        vocoder=VocoderConfig(cond_channels=16, channels=32),
-        pipeline=PipelineConfig(seg_length_seconds=1),
-    )
 
 
 @pytest.fixture(scope="module")

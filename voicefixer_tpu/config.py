@@ -141,3 +141,15 @@ class VoiceFixerConfig:
 
 
 DEFAULT_CONFIG = VoiceFixerConfig()
+
+
+def tiny_test_config() -> VoiceFixerConfig:
+    """Scaled-down config (same structure, tiny channels) for fast jit in
+    tests, CPU-mesh dry runs, and CI — NOT numerically related to the
+    reference checkpoints."""
+    return VoiceFixerConfig(
+        unet=ResUNetConfig(encoder_channels=(4, 4, 4, 4, 4, 4),
+                           center_channels=4),
+        vocoder=VocoderConfig(cond_channels=16, channels=32),
+        pipeline=PipelineConfig(seg_length_seconds=1),
+    )

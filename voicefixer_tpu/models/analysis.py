@@ -21,6 +21,7 @@ from voicefixer_tpu.models import resunet
 from voicefixer_tpu.ops import mel as vmel
 from voicefixer_tpu.ops import stft as vstft
 from voicefixer_tpu.ops.norm import to_log
+from voicefixer_tpu.ops.precision import get_precision
 
 
 def wav_to_sp_mel(wav: jnp.ndarray, cfg: VoiceFixerConfig):
@@ -33,7 +34,7 @@ def wav_to_sp_mel(wav: jnp.ndarray, cfg: VoiceFixerConfig):
     fb = jnp.asarray(vmel.melscale_fbanks(
         cfg.mel.n_stft, cfg.mel.f_min, cfg.mel.f_max, cfg.mel.n_mels,
         cfg.mel.sample_rate, norm=None), dtype=sp.dtype)
-    mel = jnp.matmul(sp, fb, precision=jax.lax.Precision.HIGHEST)
+    mel = jnp.matmul(sp, fb, precision=get_precision())
     return sp, mel
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_PRECISION = lax.Precision.HIGHEST
+from voicefixer_tpu.ops.precision import get_precision
 
 
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
@@ -33,7 +33,7 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=_PRECISION,
+        precision=get_precision(),
     )
     if b is not None:
         y = y + b
@@ -49,7 +49,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         rhs_dilation=tuple(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_PRECISION,
+        precision=get_precision(),
     )
     if b is not None:
         y = y + b
@@ -87,7 +87,7 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
         # x[q - d] for q in [0, q_len): pad d zeros front, d_taps-1-d back
         xd = jnp.pad(x, [(0, 0), (d, d_taps - 1 - d), (0, 0)])
         zd = jnp.einsum("btc,rco->btro", xd, wp[:, d],
-                        precision=_PRECISION)
+                        precision=get_precision())
         z = zd if z is None else z + zd
     z = z.reshape(z.shape[0], q_len * s, cout)  # z[j] = z[q*s + rho]
     out_len = (t - 1) * s - 2 * padding + k + output_padding
@@ -126,7 +126,7 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray,
             xd = jnp.pad(x, [(0, 0), (dh, dh_taps - 1 - dh),
                              (dw, dw_taps - 1 - dw), (0, 0)])
             zd = jnp.einsum("bhwc,rsco->bhwrso", xd, wp[:, :, dh, dw],
-                            precision=_PRECISION)
+                            precision=get_precision())
             z = zd if z is None else z + zd
     # [B, qh, qw, sh, sw, Cout] -> [B, qh*sh, qw*sw, Cout]
     z = z.transpose(0, 1, 3, 2, 4, 5).reshape(

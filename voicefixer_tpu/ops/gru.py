@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_PRECISION = lax.Precision.HIGHEST
+from voicefixer_tpu.ops.precision import get_precision
 
 
 def gru_single_direction(x: jnp.ndarray, params: dict,
@@ -33,12 +33,12 @@ def gru_single_direction(x: jnp.ndarray, params: dict,
     b, t, _ = x.shape
     # hoisted input projection: [B, T, 3H]
     x_proj = jnp.einsum("bti,gi->btg", x, params["w_ih"],
-                        precision=_PRECISION) + params["b_ih"]
+                        precision=get_precision()) + params["b_ih"]
     w_hh_t = params["w_hh"].T  # [H, 3H]
     b_hh = params["b_hh"]
 
     def step(h, xp):
-        hp = jnp.matmul(h, w_hh_t, precision=_PRECISION) + b_hh  # [B, 3H]
+        hp = jnp.matmul(h, w_hh_t, precision=get_precision()) + b_hh  # [B, 3H]
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)

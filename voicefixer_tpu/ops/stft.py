@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from voicefixer_tpu.config import STFTConfig
+from voicefixer_tpu.ops.precision import get_precision
 
 
 def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
@@ -80,9 +81,9 @@ def stft_real_imag(x: jnp.ndarray, cfg: STFTConfig):
     frames = frame_signal(x, cfg)
     w_re, w_im = dft_matrices(cfg.n_fft, cfg.win_length)
     real = jnp.matmul(frames, jnp.asarray(w_re, dtype=frames.dtype),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=get_precision())
     imag = jnp.matmul(frames, jnp.asarray(w_im, dtype=frames.dtype),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=get_precision())
     return real, imag
 
 
@@ -143,9 +144,9 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
     """
     m_re, m_im = idft_matrices(cfg.n_fft, cfg.win_length)
     frames = (jnp.matmul(real, jnp.asarray(m_re, dtype=real.dtype),
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=get_precision())
               + jnp.matmul(imag, jnp.asarray(m_im, dtype=imag.dtype),
-                           precision=jax.lax.Precision.HIGHEST))
+                           precision=get_precision()))
     t = frames.shape[-2]
     total = cfg.n_fft + cfg.hop_length * (t - 1)
     idx = (np.arange(t)[:, None] * cfg.hop_length

@@ -19,6 +19,7 @@ from voicefixer_tpu.models import vocoder as vocoder_model
 from voicefixer_tpu.ops import mel as vmel
 from voicefixer_tpu.ops import stft as vstft
 from voicefixer_tpu.ops.norm import vocoder_normalize_mel
+from voicefixer_tpu.ops.precision import get_precision
 
 
 def pad_tail(mel_btc: jnp.ndarray, pad_value: float) -> jnp.ndarray:
@@ -111,7 +112,7 @@ class Vocoder:
         basis = jnp.asarray(vmel.librosa_mel_basis(
             scfg.n_fft, self.config.vocoder.num_mels, self.rate))
         mel = jnp.matmul(sp, basis.T,
-                         precision=jax.lax.Precision.HIGHEST)  # [1, T, 128]
+                         precision=get_precision())  # [1, T, 128]
         wav_re = self._jit_synth(self.params, mel, self.config.vocoder,
                                  divide_weight=False)
         out = np.asarray(wav_re)[..., 0]  # [1, S]
