@@ -64,16 +64,30 @@ def num_frames(n_samples: int, cfg: STFTConfig) -> int:
 
 def frame_signal(x: jnp.ndarray, cfg: STFTConfig) -> jnp.ndarray:
     """[..., n_samples] -> [..., T, n_fft] overlapping frames (after center
-    reflect-padding)."""
+    reflect-padding).
+
+    Implemented gather-free: reshape into hop-sized rows, then concatenate
+    ceil(n_fft/hop)+1 shifted row views. A gather with a [T, n_fft] index
+    matrix (the naive formulation) makes XLA:TPU compile pathologically
+    slowly at production lengths (30 s -> 6M constant indices).
+    """
     if cfg.center:
         pad = cfg.n_fft // 2
         pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_widths, mode=cfg.pad_mode)
     n = x.shape[-1]
-    t = (n - cfg.n_fft) // cfg.hop_length + 1
-    idx = (np.arange(t)[:, None] * cfg.hop_length
-           + np.arange(cfg.n_fft)[None, :])  # [T, n_fft], static
-    return x[..., idx]
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    t = (n - n_fft) // hop + 1
+    rows_per_frame = (n_fft - 1) // hop + 1
+    total_rows = t + rows_per_frame - 1
+    need = total_rows * hop
+    if need > n:
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
+        x = jnp.pad(x, pad_widths)
+    batch = x.shape[:-1]
+    xr = x[..., :need].reshape(*batch, total_rows, hop)
+    parts = [xr[..., k:k + t, :] for k in range(rows_per_frame)]
+    return jnp.concatenate(parts, axis=-1)[..., :n_fft]
 
 
 def stft_real_imag(x: jnp.ndarray, cfg: STFTConfig):
@@ -148,13 +162,24 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
               + jnp.matmul(imag, jnp.asarray(m_im, dtype=imag.dtype),
                            precision=get_precision()))
     t = frames.shape[-2]
-    total = cfg.n_fft + cfg.hop_length * (t - 1)
-    idx = (np.arange(t)[:, None] * cfg.hop_length
-           + np.arange(cfg.n_fft)[None, :]).reshape(-1)
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    total = n_fft + hop * (t - 1)
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape(batch_shape + (-1,))
-    y = jnp.zeros(batch_shape + (total,), dtype=frames.dtype)
-    y = y.at[..., idx].add(flat)
+    # Gather-free overlap-add: split each frame into hop-sized chunks and
+    # shift-add them as whole rows (the scatter formulation compiles
+    # pathologically slowly on XLA:TPU at production lengths).
+    rows_per_frame = (n_fft - 1) // hop + 1
+    width = rows_per_frame * hop
+    fpad = jnp.pad(frames, [(0, 0)] * len(batch_shape)
+                   + [(0, 0), (0, width - n_fft)])
+    fr = fpad.reshape(batch_shape + (t, rows_per_frame, hop))
+    total_rows = t + rows_per_frame - 1
+    y = None
+    for k in range(rows_per_frame):
+        contrib = jnp.pad(fr[..., :, k, :], [(0, 0)] * len(batch_shape)
+                          + [(k, total_rows - t - k), (0, 0)])
+        y = contrib if y is None else y + contrib
+    y = y.reshape(batch_shape + (total_rows * hop,))[..., :total]
     # window-squared normalization
     w = hann_window(cfg.win_length, dtype=np.float64)
     wsq = np.zeros(total)

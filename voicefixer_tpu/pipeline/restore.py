@@ -69,24 +69,38 @@ def _trim_center(est: np.ndarray, ref_len: int) -> np.ndarray:
     return est  # shorter than ref: reference trims ref instead; keep est
 
 
-def restore_segment(analysis_params: dict, vocoder_params: dict,
-                    wav: jnp.ndarray, cfg: VoiceFixerConfig,
-                    training: bool = False, rng=None):
-    """One chunk through both stages: wav [N] -> (wav_out [S], peak).
+def restore_batch(analysis_params: dict, vocoder_params: dict,
+                  wav: jnp.ndarray, cfg: VoiceFixerConfig,
+                  training: bool = False, rng=None):
+    """A batch of equal-length chunks through both stages:
+    wav [B, N] -> (wav_out [B, S], peaks [B]).
 
-    Mirrors the base.py:123-133 body: _pre -> model -> from_log -> vocoder ->
-    energy cap. Returns the pre-cap peak so the caller can emit the
-    reference's warning.
+    Mirrors the base.py:123-133 body per chunk: _pre -> model -> from_log ->
+    vocoder -> per-chunk energy cap. The reference runs chunks one by one
+    (base.py:117-137); batching them into one jitted program is exact for
+    eval modes (BN uses running stats, chunks are independent) and is the
+    unit that data-parallelizes over a mesh. Returns pre-cap peaks so the
+    caller can emit the reference's warning.
     """
-    _, mel_orig = analysis.wav_to_sp_mel(wav[None], cfg)
+    _, mel_orig = analysis.wav_to_sp_mel(wav, cfg)
     out = analysis.apply(analysis_params, mel_orig, cfg,
                          training=training, rng=rng)
     denoised_mel = from_log(out["mel"])
     wav_out = vocoder_facade.synthesize(vocoder_params, denoised_mel,
-                                        cfg.vocoder)[..., 0]  # [1, S]
-    peak = jnp.max(jnp.abs(wav_out))
-    wav_out = jnp.where(peak > 1.0, wav_out / peak, wav_out)
-    return wav_out[0], peak
+                                        cfg.vocoder)[..., 0]  # [B, S]
+    peaks = jnp.max(jnp.abs(wav_out), axis=-1)  # [B]
+    wav_out = jnp.where((peaks > 1.0)[:, None], wav_out / peaks[:, None],
+                        wav_out)
+    return wav_out, peaks
+
+
+def restore_segment(analysis_params: dict, vocoder_params: dict,
+                    wav: jnp.ndarray, cfg: VoiceFixerConfig,
+                    training: bool = False, rng=None):
+    """One chunk: wav [N] -> (wav_out [S], peak scalar)."""
+    wav_out, peaks = restore_batch(analysis_params, vocoder_params,
+                                   wav[None], cfg, training=training, rng=rng)
+    return wav_out[0], peaks[0]
 
 
 class VoiceFixer:
@@ -112,6 +126,9 @@ class VoiceFixer:
         self.vocoder_params = vocoder_params
         self._jit_segment = jax.jit(
             partial(restore_segment, cfg=config),
+            static_argnames=("training",))
+        self._jit_batch = jax.jit(
+            partial(restore_batch, cfg=config),
             static_argnames=("training",))
         self._jit_mel = jax.jit(
             partial(analysis.restore_mel, cfg=config),
@@ -147,37 +164,62 @@ class VoiceFixer:
         training = mode == 2
         rng = jax.random.PRNGKey(seed) if training else None
 
-        res = []
+        # split into the reference's consecutive segments (base.py:117-137)
         seg_length = self.config.pipeline.seg_length
+        segments = []
         break_point = seg_length
         while break_point < wav_10k.shape[0] + seg_length:
-            segment = wav_10k[break_point - seg_length: break_point]
-            seg = jnp.asarray(segment)
+            seg = jnp.asarray(wav_10k[break_point - seg_length: break_point])
             if mode == 1:
+                # mode 1 reassigns `segment` before the trim in the
+                # reference (base.py:121-135), so trims target the
+                # post-ISTFT length.
                 seg = self._jit_hf(seg)
-            # mode 1 reassigns `segment` before the trim in the reference
-            # (base.py:121-135), so trim targets the post-ISTFT length.
-            seg_len = seg.shape[0]
-            if training:
-                rng, step_rng = jax.random.split(rng)
-            else:
-                step_rng = None
-            if your_vocoder_func is None:
-                out, peak = self._jit_segment(
-                    self.params, self.vocoder_params, seg,
-                    training=training, rng=step_rng)
-                if float(peak) > 1.0:
-                    print("Warning: Exceed energy limit,", float(peak))
-            else:
-                mel_log = self._jit_mel(self.params, seg[None],
-                                        training=training, rng=step_rng)
-                # reference hands the vocoder func a [B, 1, T, 128] linear
-                # mel (base.py:125-129)
-                denoised = from_log(mel_log)[:, None]
-                out = np.asarray(your_vocoder_func(denoised)).reshape(-1)
-            out = _trim_center(np.asarray(out), seg_len)
-            res.append(out)
+            segments.append(seg)
             break_point += seg_length
+
+        res: list = [None] * len(segments)
+
+        def emit(i, out, seg_len, peak=None):
+            if peak is not None and float(peak) > 1.0:
+                print("Warning: Exceed energy limit,", float(peak))
+            res[i] = _trim_center(np.asarray(out), seg_len)
+
+        if your_vocoder_func is not None or training:
+            # sequential path: custom vocoder funcs see one chunk at a time
+            # (base.py:126-129), and mode 2 couples chunks through batch-stats
+            # BN if batched — per-chunk stats match the reference.
+            for i, seg in enumerate(segments):
+                if training:
+                    rng, step_rng = jax.random.split(rng)
+                else:
+                    step_rng = None
+                if your_vocoder_func is None:
+                    out, peak = self._jit_segment(
+                        self.params, self.vocoder_params, seg,
+                        training=training, rng=step_rng)
+                    emit(i, out, seg.shape[0], peak)
+                else:
+                    mel_log = self._jit_mel(self.params, seg[None],
+                                            training=training, rng=step_rng)
+                    # reference hands the vocoder func a [B, 1, T, 128]
+                    # linear mel (base.py:125-129)
+                    denoised = from_log(mel_log)[:, None]
+                    out = np.asarray(your_vocoder_func(denoised)).reshape(-1)
+                    emit(i, out, seg.shape[0])
+        else:
+            # eval modes: batch all same-length chunks into one jitted
+            # program (exact — chunks are independent under running-stats BN)
+            groups: dict = {}
+            for i, seg in enumerate(segments):
+                groups.setdefault(seg.shape[0], []).append(i)
+            for seg_len, idxs in groups.items():
+                stacked = jnp.stack([segments[i] for i in idxs])
+                outs, peaks = self._jit_batch(
+                    self.params, self.vocoder_params, stacked,
+                    training=False, rng=None)
+                for j, i in enumerate(idxs):
+                    emit(i, outs[j], seg_len, peaks[j])
         return np.concatenate(res, axis=-1)
 
     def restore(self, input: str, output: str, cuda: bool = False,
