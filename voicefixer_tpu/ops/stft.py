@@ -126,6 +126,15 @@ def wav_to_spectrogram_phase(x: jnp.ndarray, cfg: STFTConfig, eps: float = 1e-8)
     return spectrogram_phase(x, cfg, eps=eps)
 
 
+def spectrogram_to_wav(mag: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                       cfg: STFTConfig, length: int | None = None
+                       ) -> jnp.ndarray:
+    """(mag, cos, sin) [..., T, n_freqs] -> wav [..., n_samples], the inverse
+    of spectrogram_phase (ref: fDomainHelper.py:112-130 `spectrogram_to_wav`,
+    which feeds mag*cos / mag*sin to torchlibrosa ISTFT)."""
+    return istft(mag * cos, mag * sin, cfg, length=length)
+
+
 @functools.lru_cache(maxsize=8)
 def idft_matrices(n_fft: int, win_length: int):
     """Inverse DFT matrices mapping [n_freqs] (real, imag) -> windowed time
