@@ -34,6 +34,11 @@ def main():
     compile_cache.enable()
     cfg = DEFAULT_CONFIG
 
+    # BENCH_PRECISION=highest (default) is the torch-parity fp32 config;
+    # =default lets the MXU run native bf16-accumulate-f32 (production).
+    from voicefixer_tpu.ops.precision import set_precision
+    set_precision(os.environ.get("BENCH_PRECISION", "highest"))
+
     seconds = float(os.environ.get("BENCH_CHUNK_SECONDS", "30"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     n = int(cfg.pipeline.sample_rate * seconds)

@@ -1,0 +1,126 @@
+"""Parity tests for the Pallas kernels (voicefixer_tpu/kernels/) against
+their jax reference implementations in voicefixer_tpu/ops/.
+
+Run in Pallas interpret mode so they validate on the CPU mesh used by the
+test suite; on a TPU backend the same calls exercise the compiled kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicefixer_tpu.ops import gru as vgru
+
+
+def _rand(key, shape, scale=1.0):
+    return scale * jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("t", [7, 256, 300])
+def test_gru_kernel_matches_scan(reverse, t):
+    from voicefixer_tpu.kernels.gru import gru_seq
+
+    b, in_dim, h = 2, 64, 128
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    params = {
+        "w_ih": _rand(keys[0], (3 * h, in_dim), 0.1),
+        "w_hh": _rand(keys[1], (3 * h, h), 0.1),
+        "b_ih": _rand(keys[2], (3 * h,), 0.1),
+        "b_hh": _rand(keys[3], (3 * h,), 0.1),
+    }
+    x = _rand(keys[4], (b, t, in_dim))
+
+    ref = vgru.gru_single_direction(x, params, reverse=reverse)
+
+    x_proj = jnp.einsum("bti,gi->btg", x, params["w_ih"]) + params["b_ih"]
+    got = gru_seq(x_proj, params["w_hh"].T, params["b_hh"],
+                  reverse=reverse, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dil", [1, 3, 27])
+@pytest.mark.parametrize("t,ch", [(300, 128), (2048, 64), (2500, 64)])
+def test_res_block_matches_jax_conv(dil, t, ch):
+    from voicefixer_tpu.kernels.resstack import res_block
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    w1 = _rand(keys[0], (3, ch, ch), 0.05)
+    b1 = _rand(keys[1], (ch,), 0.05)
+    w2 = _rand(keys[2], (3, ch, ch), 0.05)
+    b2 = _rand(keys[3], (ch,), 0.05)
+    x = _rand(keys[4], (2, t, ch))
+
+    h = leaky_relu(x, 0.2)
+    h = conv1d(h, w1, b1, padding=dil, dilation=dil)
+    h = leaky_relu(h, 0.2)
+    ref = x + conv1d(h, w2, b2, padding=1)
+
+    got = res_block(x, w1, b1, w2, b2, dil=dil, t_tile=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_res_stack_matches_model_path(monkeypatch):
+    from voicefixer_tpu.kernels import resstack
+    from voicefixer_tpu.models.vocoder import _res_stack
+
+    ch, t, depth = 64, 700, 8
+    keys = jax.random.split(jax.random.PRNGKey(2), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.05)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
+              for i in range(depth)]
+    x = _rand(keys[-1], (1, t, ch))
+    ref = _res_stack(params, x, 3, 0.2)
+    got = resstack.res_stack(params, x, 3, 0.2, t_tile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("scale,cin,cout", [(7, 64, 32), (3, 128, 64)])
+@pytest.mark.parametrize("t", [100, 512, 700])
+def test_upsample_kernel_matches_conv_transpose(scale, cin, cout, t):
+    from voicefixer_tpu.kernels.upsample import upsample
+    from voicefixer_tpu.ops.conv import conv_transpose1d
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    w = _rand(keys[0], (2 * scale, cin, cout), 0.05)
+    b = _rand(keys[1], (cout,), 0.05)
+    x = _rand(keys[2], (2, t, cin))
+
+    a = x + jnp.sin(x)
+    ref = conv_transpose1d(a, w, b, stride=scale,
+                           padding=scale // 2 + scale % 2,
+                           output_padding=scale % 2)
+    got = upsample(x, w, b, scale, t_tile=256, interpret=True)
+    assert got.shape == ref.shape == (2, t * scale, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [44100, 20000])
+def test_stft_mel_kernel_matches_ops_path(n):
+    from voicefixer_tpu.config import DEFAULT_CONFIG
+    from voicefixer_tpu.kernels.stft import stft_mel
+    from voicefixer_tpu.ops import mel as vmel
+    from voicefixer_tpu.ops import stft as vstft
+
+    cfg = DEFAULT_CONFIG
+    wav = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (2, n),
+                                  dtype=jnp.float32)
+    fb = jnp.asarray(vmel.melscale_fbanks(
+        cfg.mel.n_stft, cfg.mel.f_min, cfg.mel.f_max, cfg.mel.n_mels,
+        cfg.mel.sample_rate, norm=None), dtype=jnp.float32)
+
+    sp = vstft.spectrogram(wav, cfg.stft, eps=cfg.stft.mag_eps)
+    ref = jnp.matmul(sp, fb)
+
+    got = stft_mel(wav, fb, cfg.stft, t_tile=128, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -151,3 +151,38 @@ def test_oracle_runs(tmp_path):
     sr, saved = audio_io.read_audio(out_path)
     assert sr == 44100
     assert out.shape[1] == saved.shape[0]
+
+
+def test_restore_overlap_add_quality_mode(vf):
+    """chunk_overlap_seconds > 0: crossfaded overlap-add stitching preserves
+    length and stays finite; a constant-weight sanity check on the stitcher
+    itself proves exact reconstruction of agreeing chunks."""
+    from voicefixer_tpu.pipeline.restore import overlap_add
+
+    n = int(44100 * 2.2)
+    wav = (np.random.default_rng(2).standard_normal(n) * 0.1).astype(
+        np.float32)
+    out = vf.restore_inmem(wav, mode=0, chunk_overlap_seconds=0.25)
+    assert out.shape == (n,)
+    assert np.isfinite(out).all()
+
+    # stitcher exactness: identical overlapping chunks reconstruct the
+    # original signal up to float error
+    sig = np.sin(np.linspace(0, 40, 4000)).astype(np.float32)
+    seg, ramp = 1500, 300
+    stride = seg - ramp
+    positions = list(range(0, 4000 - seg + 1, stride))
+    if positions[-1] + seg < 4000:
+        positions.append(4000 - seg)
+    chunks = [sig[p:p + seg] for p in positions]
+    rec = overlap_add(chunks, positions, 4000, ramp)
+    np.testing.assert_allclose(rec, sig, atol=1e-6)
+
+
+def test_restore_overlap_mode1(vf):
+    n = int(44100 * 1.6)
+    wav = (np.random.default_rng(3).standard_normal(n) * 0.1).astype(
+        np.float32)
+    out = vf.restore_inmem(wav, mode=1, chunk_overlap_seconds=0.2)
+    assert out.shape == (n,)
+    assert np.isfinite(out).all()

@@ -25,7 +25,8 @@ AUDIO_EXTS = (".wav", ".flac")
 
 
 def writefile(voicefixer, infile: str, outfile: str, mode, append_mode: bool,
-              seed: int, verbose: bool = False):
+              seed: int, verbose: bool = False,
+              chunk_overlap: float = 0.0):
     """Process one file; mode `all` callers pass append_mode=True to get
     `<base>-mode{k}<ext>` names (ref: __main__.py:13-27)."""
     if append_mode:
@@ -36,7 +37,7 @@ def writefile(voicefixer, infile: str, outfile: str, mode, append_mode: bool,
         print(f"Processing {infile}, mode={mode}")
     start = time.time()
     voicefixer.restore(input=infile, output=outfile, mode=int(mode),
-                       seed=seed)
+                       seed=seed, chunk_overlap_seconds=chunk_overlap)
     print(f"Restoration took {round(time.time() - start, 1)} s")
 
 
@@ -101,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true",
                         help="Only download + convert the model weights, "
                              "then exit.")
+    parser.add_argument("--chunk-overlap", type=float, default=0.0,
+                        help="Seconds of overlap between 30 s chunks; > 0 "
+                             "enables crossfaded overlap-add stitching for "
+                             "long files (0 = reference-parity hard seams)")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed for mode 2 (deterministic, unlike "
                              "the reference).")
@@ -143,7 +148,8 @@ def main(argv=None):
             print(f"Start processing the input file {args.infile}.")
         for m in modes:
             writefile(voicefixer, args.infile, args.outfile, m, append,
-                      args.seed, verbose=not args.silent)
+                      args.seed, verbose=not args.silent,
+                      chunk_overlap=args.chunk_overlap)
 
     if process_folder:
         files = [f for f in sorted(os.listdir(args.infolder))
@@ -157,7 +163,8 @@ def main(argv=None):
             out_file = os.path.join(args.outfolder, base + ".wav")
             for m in modes:
                 writefile(voicefixer, in_file, out_file, m, append,
-                          args.seed, verbose=not args.silent)
+                          args.seed, verbose=not args.silent,
+                          chunk_overlap=args.chunk_overlap)
 
     if not args.silent:
         print("Done")

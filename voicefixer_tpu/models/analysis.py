@@ -38,6 +38,23 @@ def wav_to_sp_mel(wav: jnp.ndarray, cfg: VoiceFixerConfig):
     return sp, mel
 
 
+def wav_to_mel(wav: jnp.ndarray, cfg: VoiceFixerConfig) -> jnp.ndarray:
+    """Inference hot path: wav [B, N] -> mel [B, T, 128] without ever
+    materializing the [B, T, 1025] spectrogram (the restore pipeline never
+    uses sp — base.py:123-125 passes only the mel onward). Dispatches to the
+    fused Pallas STFT->mag->mel kernel on TPU; training uses wav_to_sp_mel
+    (differentiable jax path)."""
+    fb = jnp.asarray(vmel.melscale_fbanks(
+        cfg.mel.n_stft, cfg.mel.f_min, cfg.mel.f_max, cfg.mel.n_mels,
+        cfg.mel.sample_rate, norm=None), dtype=wav.dtype)
+    from voicefixer_tpu import kernels
+    if kernels.use("stft"):
+        from voicefixer_tpu.kernels.stft import stft_mel
+        return stft_mel(wav, fb, cfg.stft)
+    sp = vstft.spectrogram(wav, cfg.stft, eps=cfg.stft.mag_eps)
+    return jnp.matmul(sp, fb, precision=get_precision())
+
+
 def apply(params: dict, mel_orig: jnp.ndarray, cfg: VoiceFixerConfig,
           training: bool = False, rng=None) -> dict:
     """Generator.forward (model.py:103-120). mel_orig: [B, T, 128] linear mel.
@@ -58,7 +75,7 @@ def apply(params: dict, mel_orig: jnp.ndarray, cfg: VoiceFixerConfig,
 def restore_mel(params: dict, wav: jnp.ndarray, cfg: VoiceFixerConfig,
                 training: bool = False, rng=None) -> jnp.ndarray:
     """wav [B, N] -> restored log10 mel [B, T, 128] (analysis stage only)."""
-    _, mel_orig = wav_to_sp_mel(wav, cfg)
+    mel_orig = wav_to_mel(wav, cfg)
     return apply(params, mel_orig, cfg, training=training, rng=rng)["mel"]
 
 

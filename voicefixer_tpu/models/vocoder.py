@@ -34,6 +34,11 @@ def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
                ) -> jnp.ndarray:
     """ResStack (modules.py:531-595): depth-8 dilated residual conv pairs,
     dilations 3^(i%10)."""
+    from voicefixer_tpu import kernels
+    if kernel == 3 and kernels.use("resstack"):
+        from voicefixer_tpu.kernels.resstack import res_stack
+        return res_stack(params, x, kernel, slope,
+                         matmul_dtype=kernels.matmul_dtype())
     for i, layer in enumerate(params):
         dil = 3 ** (i % 10)
         pad = (kernel * dil - dil) // 2
@@ -51,6 +56,11 @@ def _upsample(params: dict, x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """UpsampleNet effective path (modules.py:501-517 with org=False,
     no_skip=True): x + sin(x), then ConvTranspose1d(k=2s, stride=s,
     p=s//2+s%2, op=s%2)."""
+    from voicefixer_tpu import kernels
+    if kernels.use("upsample"):
+        from voicefixer_tpu.kernels.upsample import upsample
+        return upsample(x, params["w"], params["b"], scale,
+                        matmul_dtype=kernels.matmul_dtype())
     x = x + jnp.sin(x)
     return conv_transpose1d(x, params["w"], params["b"], stride=scale,
                             padding=scale // 2 + scale % 2,

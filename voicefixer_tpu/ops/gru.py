@@ -37,6 +37,11 @@ def gru_single_direction(x: jnp.ndarray, params: dict,
     w_hh_t = params["w_hh"].T  # [H, 3H]
     b_hh = params["b_hh"]
 
+    from voicefixer_tpu import kernels
+    if kernels.use("gru"):
+        from voicefixer_tpu.kernels.gru import gru_seq
+        return gru_seq(x_proj, w_hh_t, b_hh, reverse=reverse)
+
     def step(h, xp):
         hp = jnp.matmul(h, w_hh_t, precision=get_precision()) + b_hh  # [B, 3H]
         xr, xz, xn = jnp.split(xp, 3, axis=-1)

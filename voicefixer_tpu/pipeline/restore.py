@@ -57,6 +57,37 @@ def remove_higher_frequency(wav: jnp.ndarray, cfg: VoiceFixerConfig,
     return vstft.istft(spec * cos, spec * sin, scfg)[0]
 
 
+def _fit_length(a: np.ndarray, n: int) -> np.ndarray:
+    """Center-trim to n if longer, zero-pad at the tail if shorter."""
+    a = _trim_center(a, n)
+    if a.shape[-1] < n:
+        a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])])
+    return a
+
+
+def overlap_add(chunks: list, positions: list, total: int,
+                ramp: int) -> np.ndarray:
+    """Weighted overlap-add stitching: each chunk gets a linear fade-in/out
+    of `ramp` samples on interior boundaries; weights are normalized so
+    constant-signal regions reconstruct exactly. The reference's hard
+    `torch.cat` seams (base.py:138) are the parity fallback; this is the
+    quality mode for long-form audio (SURVEY.md 7.3: bit-exact
+    chunked==unchunked is impossible with a seconds-long receptive field,
+    so boundaries are crossfaded instead)."""
+    out = np.zeros(total, dtype=np.float64)
+    wsum = np.zeros(total, dtype=np.float64)
+    for chunk, pos in zip(chunks, positions):
+        n = chunk.shape[-1]
+        w = np.ones(n, dtype=np.float64)
+        if pos > 0:
+            w[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False)
+        if pos + n < total:
+            w[n - ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False)
+        out[pos:pos + n] += w * chunk.astype(np.float64)
+        wsum[pos:pos + n] += w
+    return (out / np.maximum(wsum, 1e-12)).astype(np.float32)
+
+
 def _trim_center(est: np.ndarray, ref_len: int) -> np.ndarray:
     """Center-trim est's last axis to ref_len (base.py:63-76)."""
     diff = abs(est.shape[-1] - ref_len)
@@ -82,7 +113,7 @@ def restore_batch(analysis_params: dict, vocoder_params: dict,
     unit that data-parallelizes over a mesh. Returns pre-cap peaks so the
     caller can emit the reference's warning.
     """
-    _, mel_orig = analysis.wav_to_sp_mel(wav, cfg)
+    mel_orig = analysis.wav_to_mel(wav, cfg)
     out = analysis.apply(analysis_params, mel_orig, cfg,
                          training=training, rng=rng)
     denoised_mel = from_log(out["mel"])
@@ -150,19 +181,30 @@ class VoiceFixer:
 
     def restore_inmem(self, wav_10k: np.ndarray, cuda: bool = False,
                       mode: int = 0, your_vocoder_func=None,
-                      seed: int = 0) -> np.ndarray:
+                      seed: int = 0,
+                      chunk_overlap_seconds: float = 0.0) -> np.ndarray:
         """wav [N] at 44.1 kHz -> restored wav [N] (base.py:106-139).
 
         mode 0: eval. mode 1: eval + high-frequency removal preprocessing.
         mode 2: BN batch-stats + live dropout (stochastic in the reference;
         here deterministic given `seed`). `cuda` is accepted for API
         compatibility and ignored (JAX owns placement).
+
+        chunk_overlap_seconds > 0 switches long-form stitching from the
+        reference's hard 30 s seams to crossfaded overlap-add windows
+        (quality mode; eval modes only).
         """
         if mode not in (0, 1, 2):
             raise ValueError(f"mode must be 0, 1, or 2, got {mode}")
         wav_10k = np.asarray(wav_10k, dtype=np.float32).reshape(-1)
         training = mode == 2
         rng = jax.random.PRNGKey(seed) if training else None
+
+        if (chunk_overlap_seconds > 0 and not training
+                and your_vocoder_func is None
+                and wav_10k.shape[0] > self.config.pipeline.seg_length):
+            return self._restore_overlap(wav_10k, mode,
+                                         chunk_overlap_seconds)
 
         # split into the reference's consecutive segments (base.py:117-137)
         seg_length = self.config.pipeline.seg_length
@@ -222,14 +264,50 @@ class VoiceFixer:
                     emit(i, outs[j], seg_len, peaks[j])
         return np.concatenate(res, axis=-1)
 
+    def _restore_overlap(self, wav: np.ndarray, mode: int,
+                         overlap_seconds: float) -> np.ndarray:
+        """Quality-mode long-form restore: fixed-size windows with
+        `overlap_seconds` of overlap, batched through the jitted pipeline,
+        stitched by crossfaded overlap-add."""
+        seg = self.config.pipeline.seg_length
+        n = wav.shape[0]
+        ramp = min(int(overlap_seconds * self.config.pipeline.sample_rate),
+                   seg // 2)
+        stride = seg - ramp
+        positions = list(range(0, max(n - seg, 0) + 1, stride))
+        if positions[-1] + seg < n:
+            positions.append(n - seg)
+
+        windows = []
+        for pos in positions:
+            win = jnp.asarray(wav[pos: pos + seg])
+            if mode == 1:
+                # istft shortens the window by < 1 hop; repad so all
+                # windows stack (the crossfade masks the sub-hop tail)
+                win = jnp.asarray(_fit_length(np.asarray(self._jit_hf(win)),
+                                              seg))
+            windows.append(win)
+        outs, peaks = self._jit_batch(self.params, self.vocoder_params,
+                                      jnp.stack(windows), training=False,
+                                      rng=None)
+        outs = np.asarray(outs)
+        chunks = []
+        for j, pos in enumerate(positions):
+            if float(peaks[j]) > 1.0:
+                print("Warning: Exceed energy limit,", float(peaks[j]))
+            chunks.append(_fit_length(outs[j], seg))
+        return overlap_add(chunks, positions, n, ramp)
+
     def restore(self, input: str, output: str, cuda: bool = False,
-                mode: int = 0, your_vocoder_func=None, seed: int = 0):
+                mode: int = 0, your_vocoder_func=None, seed: int = 0,
+                chunk_overlap_seconds: float = 0.0):
         """File-to-file restore (base.py:141-146)."""
         from voicefixer_tpu.utils import audio_io
         wav_10k = audio_io.load_wav(input,
                                     sample_rate=self.config.pipeline.sample_rate)
         out = self.restore_inmem(wav_10k, cuda=cuda, mode=mode,
                                  your_vocoder_func=your_vocoder_func,
-                                 seed=seed)
+                                 seed=seed,
+                                 chunk_overlap_seconds=chunk_overlap_seconds)
         audio_io.save_wave(out, fname=output,
-                           sample_rate=self.config.pipeline.sample_rate)
+                          sample_rate=self.config.pipeline.sample_rate)
