@@ -129,6 +129,15 @@ def res_block(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
     # dil for conv1's taps + >=8-sample margin, rounded so the DMA slice
     # length TT + 2*halo stays a multiple of Mosaic's sublane tiling
     halo = -(-(dil + 8) // 8) * 8
+    if not interpret:
+        # re-plan against the actual (possibly lane-padded) channel count —
+        # the caller may have planned with the pre-padding width
+        planned = plan_tile(ch, dil, t_tile)
+        if planned is None:
+            raise ValueError(
+                f"res_block cannot fit VMEM for C={ch}, dil={dil}; "
+                "caller should use the jax conv path (plan_tile -> None)")
+        t_tile = planned
     t_tile = min(t_tile, max(8, t_total))
     t_tile = -(-t_tile // 8) * 8  # Mosaic sublane tiling
     n_blk = pl.cdiv(t_total, t_tile)
@@ -175,7 +184,7 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
     (k=3 only — the production config)."""
     assert kernel == 3, "fused kernel supports k=3 (production config)"
     from voicefixer_tpu.ops.conv import conv1d, leaky_relu
-    ch = x.shape[-1]
+    ch = max(x.shape[-1], 128)  # < 128 channels are lane-padded to 128
     for i, layer in enumerate(params):
         dil = 3 ** (i % 10)
         tile = plan_tile(ch, dil, t_tile)

@@ -48,7 +48,8 @@ def wav_to_mel(wav: jnp.ndarray, cfg: VoiceFixerConfig) -> jnp.ndarray:
         cfg.mel.n_stft, cfg.mel.f_min, cfg.mel.f_max, cfg.mel.n_mels,
         cfg.mel.sample_rate, norm=None), dtype=wav.dtype)
     from voicefixer_tpu import kernels
-    if kernels.use("stft"):
+    if (kernels.use("stft") and cfg.stft.n_fft % 128 == 0
+            and cfg.mel.n_mels % 128 == 0):
         from voicefixer_tpu.kernels.stft import stft_mel
         return stft_mel(wav, fb, cfg.stft)
     sp = vstft.spectrogram(wav, cfg.stft, eps=cfg.stft.mag_eps)

@@ -35,7 +35,11 @@ def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
     """ResStack (modules.py:531-595): depth-8 dilated residual conv pairs,
     dilations 3^(i%10)."""
     from voicefixer_tpu import kernels
-    if kernel == 3 and kernels.use("resstack"):
+    ch = x.shape[-1]
+    if (kernel == 3 and kernels.use("resstack")
+            and (ch % 128 == 0 or ch < 128)):
+        # <128 channels are zero-padded to a full lane inside the kernel;
+        # non-multiples above 128 (only in test configs) take the conv path
         from voicefixer_tpu.kernels.resstack import res_stack
         return res_stack(params, x, kernel, slope,
                          matmul_dtype=kernels.matmul_dtype())
@@ -57,7 +61,9 @@ def _upsample(params: dict, x: jnp.ndarray, scale: int) -> jnp.ndarray:
     no_skip=True): x + sin(x), then ConvTranspose1d(k=2s, stride=s,
     p=s//2+s%2, op=s%2)."""
     from voicefixer_tpu import kernels
-    if kernels.use("upsample"):
+    cin, cout = params["w"].shape[1], params["w"].shape[2]
+    if (kernels.use("upsample") and cin % 128 == 0
+            and (cout % 128 == 0 or cout < 128)):
         from voicefixer_tpu.kernels.upsample import upsample
         return upsample(x, params["w"], params["b"], scale,
                         matmul_dtype=kernels.matmul_dtype())

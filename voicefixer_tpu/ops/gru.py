@@ -38,7 +38,9 @@ def gru_single_direction(x: jnp.ndarray, params: dict,
     b_hh = params["b_hh"]
 
     from voicefixer_tpu import kernels
-    if kernels.use("gru"):
+    if kernels.use("gru") and h_dim % 128 == 0:
+        # lane alignment: H and 3H must tile onto 128-wide lanes; smaller
+        # hidden sizes (test configs) take the scan path
         from voicefixer_tpu.kernels.gru import gru_seq
         return gru_seq(x_proj, w_hh_t, b_hh, reverse=reverse)
 
