@@ -2,6 +2,8 @@
 save_wave int16 semantics (ref: /root/reference/voicefixer/tools/wav.py:9-37).
 """
 
+import os
+
 import numpy as np
 import pytest
 from scipy.io import wavfile
@@ -75,3 +77,21 @@ def test_save_wave_int16_scaling_matches_reference(tmp_path):
     _, data = wavfile.read(out)
     data = data.reshape(-1)
     assert data[0] == 16384 and data[1] == -16384
+
+
+def test_native_flac_decoder_bit_exact():
+    """The C++ decoder (native/flacdec.cpp) must match the pure-Python
+    reference decoder exactly on the bundled utterances; skipped when no
+    compiler/library is available (the audio_io path falls back)."""
+    from voicefixer_tpu.utils import flac, flac_native
+
+    if flac_native.load() is None:
+        pytest.skip("native FLAC library unavailable (no g++)")
+    for name in ("original.flac", "p360_001_mic1.flac"):
+        path = f"/root/reference/test/utterance/original/{name}"
+        if not os.path.exists(path):
+            pytest.skip("reference fixtures unavailable")
+        sr_p, d_p = flac.read_flac(path)
+        sr_n, d_n = flac_native.read_flac(path)
+        assert sr_p == sr_n
+        np.testing.assert_array_equal(d_p, d_n)

@@ -44,8 +44,12 @@ def read_audio(fname: str):
     with open(fname, "rb") as f:
         magic = f.read(4)
     if magic == b"fLaC":
-        from voicefixer_tpu.utils import flac
-        sr, data = flac.read_flac(fname)
+        from voicefixer_tpu.utils import flac, flac_native
+        native = flac_native.read_flac(fname)
+        if native is not None:
+            sr, data = native
+        else:
+            sr, data = flac.read_flac(fname)
     else:
         sr, data = wavfile.read(fname)
         data = _to_float(np.asarray(data))
