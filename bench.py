@@ -34,10 +34,12 @@ def main():
     compile_cache.enable()
     cfg = DEFAULT_CONFIG
 
-    # BENCH_PRECISION=highest (default) is the torch-parity fp32 config;
-    # =default lets the MXU run native bf16-accumulate-f32 (production).
+    # BENCH_PRECISION=default (the default) is the production serving
+    # config: native MXU bf16 operands with fp32 accumulation.
+    # BENCH_PRECISION=highest switches to the torch-parity fp32 config
+    # that the numerical acceptance tests validate.
     from voicefixer_tpu.ops.precision import set_precision
-    set_precision(os.environ.get("BENCH_PRECISION", "highest"))
+    set_precision(os.environ.get("BENCH_PRECISION", "default"))
 
     seconds = float(os.environ.get("BENCH_CHUNK_SECONDS", "30"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))

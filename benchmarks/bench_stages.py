@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Per-stage latency breakdown of the 30 s restore chunk: STFT+mel,
 denoiser (mask net incl. GRUs), ResUNet, vocoder. Guides where the next
-kernel/precision work should go. BENCH_PRECISION=default for production
-numbers.
+kernel/precision work should go. Defaults to the production precision
+(bf16 operands, fp32 accumulation); BENCH_PRECISION=highest for the fp32
+parity-path numbers.
 
 Prints one JSON line per stage.
 """
@@ -42,7 +43,7 @@ def main():
     from voicefixer_tpu.utils import compile_cache
 
     compile_cache.enable()
-    set_precision(os.environ.get("BENCH_PRECISION", "highest"))
+    set_precision(os.environ.get("BENCH_PRECISION", "default"))
     cfg = DEFAULT_CONFIG
     seconds = float(os.environ.get("BENCH_CHUNK_SECONDS", "30"))
     n = int(cfg.pipeline.sample_rate * seconds)
@@ -83,7 +84,7 @@ def main():
     print(json.dumps({"metric": "stage_total", "value": round(total, 2),
                       "unit": "ms_per_30s_chunk",
                       "precision": os.environ.get("BENCH_PRECISION",
-                                                  "highest")}))
+                                                  "default")}))
 
 
 if __name__ == "__main__":

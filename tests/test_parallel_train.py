@@ -30,7 +30,7 @@ def test_param_specs_policy():
     specs = param_specs(params, n_model=2, min_channels=64)
     # GRU weights replicated
     assert specs["denoiser"]["gru7"]["gru"]["l0"]["w_ih"] == P()
-    # large linear sharded on the output axis (128 -> 256)
+    # large linear sharded on the output axis (128 -> base_width)
     assert specs["denoiser"]["fc1"]["w"] == P(None, "model")
     # BN stats replicated
     assert specs["unet"]["enc1"]["block1"]["bn1"]["gamma"] == P()
@@ -66,9 +66,10 @@ def test_train_step_unsharded_decreases_loss():
     assert np.isfinite(losses).all()
 
 
-@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
-def test_train_step_sharded_matches_unsharded(n_data, n_model):
-    """dp/tp-sharded step == single-device step (GSPMD correctness)."""
+@pytest.fixture(scope="module")
+def unsharded_reference():
+    """One unsharded train step on a fixed batch, computed once and shared
+    by both sharded-parity parametrizations (the step compile is the cost)."""
     cfg = tiny_config()
     params = analysis.init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(2)
@@ -77,10 +78,18 @@ def test_train_step_sharded_matches_unsharded(n_data, n_model):
     wav_n = wav_c + jnp.asarray(rng.standard_normal((8, 4410)) * 0.05,
                                 dtype=jnp.float32)
     key = jax.random.PRNGKey(9)
-
     ref_state = init_train_state(params)
     ref_step = make_train_step(cfg, donate=False)
     ref_state, ref_metrics = ref_step(ref_state, wav_n, wav_c, key)
+    return cfg, params, wav_n, wav_c, key, ref_state, ref_metrics
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_train_step_sharded_matches_unsharded(n_data, n_model,
+                                              unsharded_reference):
+    """dp/tp-sharded step == single-device step (GSPMD correctness)."""
+    (cfg, params, wav_n, wav_c, key,
+     ref_state, ref_metrics) = unsharded_reference
 
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     state = place_train_state(init_train_state(params), mesh)

@@ -59,6 +59,9 @@ class DenoiserConfig:
     gru_layers: int = 2
     # two stacked BN_GRU blocks, each bidirectional with hidden = 2*n_mel
     num_gru_blocks: int = 2
+    # width unit: fc1 -> base_width, fc4 -> 2*base_width, GRU hidden =
+    # base_width (reference: 2*n_mel = 256, restorer/model.py:69-99)
+    base_width: int = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,10 +71,21 @@ class ResUNetConfig:
     in_channels: int = 2
     encoder_channels: Tuple[int, ...] = (32, 64, 128, 256, 384, 384)
     center_channels: int = 384
+    # ConvBlockRes per encoder/decoder stage (reference hard-codes 4:
+    # modules.py:68-76,149-157); configurable here so scaled-down variants
+    # keep the exact reference topology.
+    blocks_per_stage: int = 4
     bn_momentum: float = 0.01
     bn_eps: float = 1e-5
     leaky_slope: float = 0.01
-    downsample_ratio: int = 64  # 2**6
+
+    @property
+    def levels(self) -> int:
+        return len(self.encoder_channels)
+
+    @property
+    def downsample_ratio(self) -> int:
+        return 2 ** self.levels  # 64 at the reference depth of 6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,8 +162,9 @@ def tiny_test_config() -> VoiceFixerConfig:
     tests, CPU-mesh dry runs, and CI — NOT numerically related to the
     reference checkpoints."""
     return VoiceFixerConfig(
-        unet=ResUNetConfig(encoder_channels=(4, 4, 4, 4, 4, 4),
-                           center_channels=4),
+        denoiser=DenoiserConfig(base_width=64),
+        unet=ResUNetConfig(encoder_channels=(4, 8), blocks_per_stage=1,
+                           center_channels=8),
         vocoder=VocoderConfig(cond_channels=16, channels=32),
         pipeline=PipelineConfig(seg_length_seconds=1),
     )

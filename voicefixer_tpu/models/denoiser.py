@@ -77,6 +77,7 @@ def apply(params: dict, mel: jnp.ndarray, cfg: DenoiserConfig,
 
 def init(key, cfg: DenoiserConfig, dtype=jnp.float32) -> dict:
     n = cfg.n_mel
+    u = cfg.base_width  # reference: 2*n_mel (restorer/model.py:69-99)
     keys = jax.random.split(key, 8)
 
     def bn():
@@ -90,17 +91,17 @@ def init(key, cfg: DenoiserConfig, dtype=jnp.float32) -> dict:
 
     return {
         "bn0": bn(),
-        "fc1": fc(keys[0], n, 2 * n),
+        "fc1": fc(keys[0], n, u),
         "bn3": bn(),
-        "fc4": fc(keys[1], 2 * n, 4 * n),
+        "fc4": fc(keys[1], u, 2 * u),
         "gru7": {"bn": bn(),
-                 "gru": vgru.init_gru_params(keys[2], 4 * n, 2 * n,
+                 "gru": vgru.init_gru_params(keys[2], 2 * u, u,
                                              cfg.gru_layers, True, dtype)},
         "gru8": {"bn": bn(),
-                 "gru": vgru.init_gru_params(keys[3], 4 * n, 2 * n,
+                 "gru": vgru.init_gru_params(keys[3], 2 * u, u,
                                              cfg.gru_layers, True, dtype)},
         "bn9": bn(),
-        "fc11": fc(keys[4], 4 * n, 4 * n),
+        "fc11": fc(keys[4], 2 * u, 2 * u),
         "bn13": bn(),
-        "fc15": fc(keys[5], 4 * n, n),
+        "fc15": fc(keys[5], 2 * u, n),
     }

@@ -37,22 +37,24 @@ def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
 
 
 def _encoder_block(params: dict, x: jnp.ndarray, slope: float,
-                   training: bool):
-    """EncoderBlockRes (modules.py:79-104): 4 conv blocks + 2x2 avg pool."""
-    for i in range(4):
+                   training: bool, n_blocks: int):
+    """EncoderBlockRes (modules.py:79-104): 4 conv blocks + 2x2 avg pool
+    (block count configurable; reference depth is 4)."""
+    for i in range(n_blocks):
         x = _conv_block_res(params[f"block{i + 1}"], x, slope, training)
     return avg_pool2d(x), x
 
 
 def _decoder_block(params: dict, x: jnp.ndarray, skip: jnp.ndarray,
-                   slope: float, training: bool) -> jnp.ndarray:
+                   slope: float, training: bool,
+                   n_blocks: int) -> jnp.ndarray:
     """DecoderBlockRes (modules.py:107-157): bn-relu-convT(k3,s2), prune last
     time row, concat skip, 4 conv blocks."""
     h = batch_norm(x, params["bn1"], training)
     h = conv_transpose2d(jax.nn.relu(h), params["conv1"]["w"], stride=(2, 2))
     h = h[:, :-1, :, :]  # prune(both=False): drop last time row
     h = jnp.concatenate([h, skip], axis=-1)
-    for i in range(4):
+    for i in range(n_blocks):
         h = _conv_block_res(params[f"block{i + 2}"], h, slope, training)
     return h
 
@@ -72,15 +74,17 @@ def apply(params: dict, x: jnp.ndarray, cfg: ResUNetConfig,
     x = jnp.pad(x, [(0, 0), (0, pad_len), (0, 0), (0, 0)])
     x = x[:, :, : x.shape[2] - 1, :]  # [B, T', 127, C]
 
+    n = cfg.levels
     skips = []
     h = x
-    for i in range(6):
-        h, pre = _encoder_block(params[f"enc{i + 1}"], h, slope, training)
+    for i in range(n):
+        h, pre = _encoder_block(params[f"enc{i + 1}"], h, slope, training,
+                                cfg.blocks_per_stage)
         skips.append(pre)
     h = _conv_block_res(params["center"], h, slope, training)
-    for i in range(6):
-        h = _decoder_block(params[f"dec{i + 1}"], h, skips[5 - i], slope,
-                           training)
+    for i in range(n):
+        h = _decoder_block(params[f"dec{i + 1}"], h, skips[n - 1 - i], slope,
+                           training, cfg.blocks_per_stage)
     h = _conv_block_res(params["after1"], h, slope, training)
     h = conv2d(h, params["after2"]["w"], params["after2"]["b"])
     h = jnp.pad(h, [(0, 0), (0, 0), (0, 1), (0, 0)])  # restore freq bin
@@ -89,7 +93,7 @@ def apply(params: dict, x: jnp.ndarray, cfg: ResUNetConfig,
 
 def _channel_plan(cfg: ResUNetConfig):
     enc = [(cfg.in_channels, cfg.encoder_channels[0])]
-    for i in range(1, 6):
+    for i in range(1, cfg.levels):
         enc.append((cfg.encoder_channels[i - 1], cfg.encoder_channels[i]))
     # decoder (in, out) mirrors the encoder (model_kqq_bn.py:65-106):
     # outs are the encoder channels reversed, ins chain from the center block
@@ -122,24 +126,23 @@ def init(key, cfg: ResUNetConfig, dtype=jnp.float32) -> dict:
         return p
 
     enc_plan, dec_plan = _channel_plan(cfg)
+    nb = cfg.blocks_per_stage
     params = {}
     for i, (ci, co) in enumerate(enc_plan):
-        params[f"enc{i + 1}"] = {
-            "block1": conv_block(ci, co),
-            "block2": conv_block(co, co),
-            "block3": conv_block(co, co),
-            "block4": conv_block(co, co),
-        }
+        blocks = {"block1": conv_block(ci, co)}
+        for j in range(2, nb + 1):
+            blocks[f"block{j}"] = conv_block(co, co)
+        params[f"enc{i + 1}"] = blocks
     params["center"] = conv_block(cfg.center_channels, cfg.center_channels)
     for i, (ci, co) in enumerate(dec_plan):
-        params[f"dec{i + 1}"] = {
+        stage = {
             "bn1": bn(ci),
             "conv1": conv_w(ci, co),  # transposed conv [3,3,ci,co]
             "block2": conv_block(2 * co, co),
-            "block3": conv_block(co, co),
-            "block4": conv_block(co, co),
-            "block5": conv_block(co, co),
         }
+        for j in range(3, nb + 2):
+            stage[f"block{j}"] = conv_block(co, co)
+        params[f"dec{i + 1}"] = stage
     c0 = cfg.encoder_channels[0]
     params["after1"] = conv_block(c0, c0)
     a2 = conv_w(c0, 1, 1)
