@@ -53,7 +53,10 @@ def _gru_kernel(x_ref, w_ref, b_ref, out_ref, h_scratch, *,
         xp = x_ref[0, pl.ds(idx, 1), :]            # [1, 3H]
         # b_hh rides on the recurrent projection: the n-gate needs
         # r * (h @ Whn + bhn), so b cannot be folded into xp.
-        hp = jnp.dot(h, w, preferred_element_type=jnp.float32) + b  # [1, 3H]
+        # HIGHEST: fp32 recurrent state would silently truncate to one bf16
+        # MXU pass under the default dot precision
+        hp = jnp.dot(h, w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + b  # [1, 3H]
         xr, xz, xn = xp[:, :hidden], xp[:, hidden:2 * hidden], \
             xp[:, 2 * hidden:]
         hr, hz, hn = hp[:, :hidden], hp[:, hidden:2 * hidden], \

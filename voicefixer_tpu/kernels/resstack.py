@@ -30,19 +30,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _block_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                   x_s, sem, *, t_tile: int, halo: int, dil: int,
-                  t_total: int, slope: float, acc_dtype):
+                  t_total: int, slope: float, acc_dtype,
+                  double_buffer: bool):
+    b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
+    n_blk = pl.num_programs(1)
     length = t_tile + 2 * halo
 
-    pltpu.make_async_copy(
-        x_hbm.at[pl.program_id(0), pl.ds(t_idx * t_tile, length), :],
-        x_s, sem).start()
-    pltpu.make_async_copy(
-        x_hbm.at[pl.program_id(0), pl.ds(t_idx * t_tile, length), :],
-        x_s, sem).wait()
+    def copy_in(blk, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(blk * t_tile, length), :],
+            x_s.at[slot], sem.at[slot])
 
-    ch = x_s.shape[1]
-    x = x_s[:]                                     # [L, C]
+    if double_buffer:
+        # Double-buffered input stream: slot j%2 was prefetched by the
+        # previous grid step (slot 0 is started here on step 0); this step
+        # starts the prefetch of block j+1 into the other slot before
+        # computing, hiding the HBM->VMEM latency behind the matmuls.
+        slot = jax.lax.rem(t_idx, 2)
+
+        @pl.when(t_idx == 0)
+        def _():
+            copy_in(0, 0).start()
+
+        @pl.when(t_idx + 1 < n_blk)
+        def _():
+            copy_in(t_idx + 1, 1 - slot).start()
+
+        copy_in(t_idx, slot).wait()
+    else:
+        # interpret mode: pl.when branches cannot contain program_id/DMA
+        # primitives on the CPU interpreter — use a blocking copy.
+        slot = 0
+        copy_in(t_idx, 0).start()
+        copy_in(t_idx, 0).wait()
+
+    ch = x_s.shape[2]
+    # VPU elementwise math runs fp32 (Mosaic lacks bf16 compare on v5e);
+    # the activation dtype only governs HBM storage / DMA traffic.
+    x = x_s[slot].astype(jnp.float32)              # [L, C]
     a = jnp.where(x > 0, x, slope * x)             # leaky_relu
     # First conv (k=3, dilation d) over the extended range
     # [t0-8, t0+TT+8): the 8-sample margins keep every sublane slice shape
@@ -52,13 +78,19 @@ def _block_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     # MXU work).
     tth = t_tile + 16
 
+    # fp32 operands must request HIGHEST or the MXU silently truncates to
+    # one bf16 pass (jnp.dot's default precision); bf16 operands take the
+    # native single pass either way.
+    prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def conv3(src, w_ref, shift):
         acc = None
         for j in range(3):
             s0 = halo - 8 + (j - 1) * shift
             sl = src[s0: s0 + tth]
             d = jnp.dot(sl.astype(acc_dtype), w_ref[pl.ds(j * ch, ch), :],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=prec)
             acc = d if acc is None else acc + d
         return acc
 
@@ -72,7 +104,7 @@ def _block_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     for j in range(3):
         d = jnp.dot(h[7 + j:7 + j + t_tile].astype(acc_dtype),
                     w2_ref[pl.ds(j * ch, ch), :],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
         y = d if y is None else y + d
     y = y + b2_ref[:]
     out_ref[0, :, :] = (x[halo:halo + t_tile] + y).astype(out_ref.dtype)
@@ -88,18 +120,21 @@ def _stack_w(w):
 VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB limit
 
 
-def plan_tile(ch: int, dil: int, t_tile: int) -> int | None:
+def plan_tile(ch: int, dil: int, t_tile: int, itemsize: int = 4
+              ) -> int | None:
     """Largest tile <= t_tile whose VMEM footprint fits, or None if even the
     smallest sensible tile cannot fit (wide channels x huge dilation — the
-    jax conv path handles those layers). Footprint model: x scratch + lrelu
-    value (L*C each), h + activated h (TTh*C), y + double-buffered out
-    (3*TT*C), two stacked weight banks."""
+    jax conv path handles those layers). Footprint model: double-buffered
+    x stream (2 x L*C, activation itemsize) + fp32 lrelu value (L*C),
+    h + activated h (TTh*C, fp32 accumulators), y + double-buffered out
+    (3*TT*C), two stacked weight banks (activation itemsize)."""
     halo = -(-(dil + 8) // 8) * 8
     while t_tile >= 256:
         length = t_tile + 2 * halo
         tth = t_tile + 16
-        need = 4 * (2 * length * ch + 2 * tth * ch + 3 * t_tile * ch
-                    + 2 * 3 * ch * ch)
+        need = (itemsize * (2 * length * ch + 2 * 3 * ch * ch
+                            + 2 * t_tile * ch)
+                + 4 * (length * ch + 2 * tth * ch + t_tile * ch))
         if need <= VMEM_BUDGET:
             return t_tile
         t_tile //= 2
@@ -132,7 +167,7 @@ def res_block(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
     if not interpret:
         # re-plan against the actual (possibly lane-padded) channel count —
         # the caller may have planned with the pre-padding width
-        planned = plan_tile(ch, dil, t_tile)
+        planned = plan_tile(ch, dil, t_tile, x.dtype.itemsize)
         if planned is None:
             raise ValueError(
                 f"res_block cannot fit VMEM for C={ch}, dil={dil}; "
@@ -146,7 +181,7 @@ def res_block(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
 
     kernel = functools.partial(
         _block_kernel, t_tile=t_tile, halo=halo, dil=dil, t_total=t_total,
-        slope=slope, acc_dtype=matmul_dtype)
+        slope=slope, acc_dtype=matmul_dtype, double_buffer=not interpret)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_blk),
@@ -165,8 +200,8 @@ def res_block(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((t_tile + 2 * halo, ch), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, t_tile + 2 * halo, ch), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_p,
@@ -181,22 +216,38 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
     """Full depth-8 ResStack via the fused block kernel, falling back to the
     jax conv path for layers whose (channels, dilation) cannot fit VMEM
     (e.g. C=512 with dil >= 729). Drop-in for models.vocoder._res_stack
-    (k=3 only — the production config)."""
+    (k=3 only — the production config).
+
+    Channels < 128 (the vocoder's final stage, C=64, also the longest
+    signal) are lane-padded to 128 ONCE for the whole stack — zero-padded
+    channels stay exactly zero through leaky-relu/conv/residual, and doing
+    it per-block would add two full-rate HBM copies per layer."""
     assert kernel == 3, "fused kernel supports k=3 (production config)"
     from voicefixer_tpu.ops.conv import conv1d, leaky_relu
-    ch = max(x.shape[-1], 128)  # < 128 channels are lane-padded to 128
+    ch_orig = x.shape[-1]
+    pc = 128 - ch_orig if ch_orig < 128 else 0
+    if pc:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pc)))
+    ch = x.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
     for i, layer in enumerate(params):
         dil = 3 ** (i % 10)
-        tile = plan_tile(ch, dil, t_tile)
+        w1, b1 = layer["c1"]["w"], layer["c1"]["b"]
+        w2, b2 = layer["c2"]["w"], layer["c2"]["b"]
+        tile = plan_tile(ch, dil, t_tile, itemsize)
         if tile is None and not interpret:
+            # wide-channel, huge-dilation layers (pc == 0 there): plain convs
             h = leaky_relu(x, slope)
-            h = conv1d(h, layer["c1"]["w"], layer["c1"]["b"], padding=dil,
-                       dilation=dil)
+            h = conv1d(h, w1, b1, padding=dil, dilation=dil)
             h = leaky_relu(h, slope)
-            x = x + conv1d(h, layer["c2"]["w"], layer["c2"]["b"], padding=1)
+            x = x + conv1d(h, w2, b2, padding=1)
             continue
-        x = res_block(x, layer["c1"]["w"], layer["c1"]["b"],
-                      layer["c2"]["w"], layer["c2"]["b"], dil=dil,
+        if pc:
+            w1 = jnp.pad(w1, ((0, 0), (0, pc), (0, pc)))
+            w2 = jnp.pad(w2, ((0, 0), (0, pc), (0, pc)))
+            b1 = jnp.pad(b1, (0, pc))
+            b2 = jnp.pad(b2, (0, pc))
+        x = res_block(x, w1, b1, w2, b2, dil=dil,
                       slope=slope, t_tile=tile or t_tile,
                       matmul_dtype=matmul_dtype, interpret=interpret)
-    return x
+    return x[..., :ch_orig] if pc else x

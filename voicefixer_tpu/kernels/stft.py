@@ -40,11 +40,17 @@ F_BLK = 128
 def _dft_mel_kernel(frames_ref, wre_ref, wim_ref, fb_ref, out_ref, *,
                     mag_eps: float):
     c = pl.program_id(2)
+    # HIGHEST: fp32 DFT/mel matmuls would silently truncate to one bf16
+    # MXU pass under the default dot precision
+    prec = jax.lax.Precision.HIGHEST
     frames = frames_ref[0]
-    re = jnp.dot(frames, wre_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, wim_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(frames, wre_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
+    im = jnp.dot(frames, wim_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
     mag = jnp.sqrt(jnp.maximum(re * re + im * im, mag_eps))
-    partial = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)
+    partial = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32,
+                      precision=prec)
 
     @pl.when(c == 0)
     def _():

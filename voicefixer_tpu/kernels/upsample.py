@@ -37,10 +37,16 @@ def _up_kernel(x_hbm, w_ref, b_ref, out_ref, x_s, sem, *, t_tile: int,
     copy.start()
     copy.wait()
 
-    x = x_s[:]                         # [TT+16, Cin], x[l] = t0 - 8 + l
+    # fp32 for the VPU transcendental; activation dtype only governs
+    # HBM storage / DMA traffic.
+    x = x_s[:].astype(jnp.float32)     # [TT+16, Cin], x[l] = t0 - 8 + l
     a = x + jnp.sin(x)
     co = co_blk
-    z2 = jnp.dot(a.astype(acc_dtype), w_ref[0],
+    # fp32 operands must request HIGHEST or the MXU silently truncates to
+    # one bf16 pass (jnp.dot's default precision).
+    prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    z2 = jnp.dot(a.astype(acc_dtype), w_ref[0], precision=prec,
                  preferred_element_type=jnp.float32)  # [TT+16, 2s*Cout_blk]
     lo = z2[:, :scale * co]
     hi = z2[:, scale * co:]

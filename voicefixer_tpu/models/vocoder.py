@@ -28,6 +28,7 @@ import numpy as np
 from voicefixer_tpu.config import VocoderConfig
 from voicefixer_tpu.ops.conv import (conv1d, conv_transpose1d, elu,
                                      leaky_relu, reflection_pad1d)
+from voicefixer_tpu.ops.precision import activation_dtype, get_precision
 
 
 def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
@@ -73,10 +74,40 @@ def _upsample(params: dict, x: jnp.ndarray, scale: int) -> jnp.ndarray:
                             output_padding=scale % 2)
 
 
+def _post_conv(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Output projection: reflection pad 3 + conv k7 C->1 + tanh
+    (generator.py:95-99).
+
+    A 1-output-channel conv is lane-starved on the MXU (the [8,128] result
+    tile carries one useful column), and lax.conv also materializes the
+    reflection-padded copy of the full-rate signal. Expressed instead as
+    k shifted [T]-vector contractions that XLA fuses into a single
+    VPU pass over x — one read of x, no padded copy."""
+    w, b = params["w"], params["b"]  # [K, C, 1], [1]
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    xp = reflection_pad1d(x, pad)
+    t = x.shape[1]
+    y = None
+    for j in range(k):
+        yj = jnp.einsum("btc,c->bt", xp[:, j: j + t, :], w[j, :, 0],
+                        precision=get_precision())
+        y = yj if y is None else y + yj
+    return jnp.tanh(y + b[0])[..., None]
+
+
 def apply(params: dict, mel: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
     """mel: [B, T, n_mels] (normalized, +-4 domain, tail-padded).
-    Returns waveform [B, T*441, 1] in [-1, 1]."""
-    x = mel
+    Returns waveform [B, T*441, 1] in [-1, 1].
+
+    In production precision (ops.precision DEFAULT) the streaming
+    activations are stored bf16 — the late stages are HBM-bandwidth-bound,
+    so storage dtype sets throughput; matmuls still accumulate fp32. Parity
+    mode (HIGHEST) keeps everything fp32."""
+    adt = activation_dtype()
+    if adt != mel.dtype:
+        params = jax.tree.map(lambda p: p.astype(adt), params)
+    x = mel.astype(adt)
     # condnet: 5x (conv k3 pad1 + ELU) (generator.py:33-54)
     for layer in params["condnet"]:
         x = elu(conv1d(x, layer["w"], layer["b"], padding=1))
@@ -88,9 +119,7 @@ def apply(params: dict, mel: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
         x = _res_stack(stage["res"], x, cfg.resstack_kernel[i],
                        cfg.leaky_slope_res)
         x = leaky_relu(x, cfg.leaky_slope_act)
-    x = conv1d(reflection_pad1d(x, 3), params["post"]["w"],
-               params["post"]["b"])
-    return jnp.tanh(x)
+    return _post_conv(params["post"], x).astype(mel.dtype)
 
 
 def init(key, cfg: VocoderConfig, dtype=jnp.float32) -> dict:

@@ -35,6 +35,16 @@ def get_precision() -> lax.Precision:
     return _current
 
 
+def activation_dtype():
+    """Storage dtype for streaming activations in the bandwidth-bound
+    vocoder stages: production mode (DEFAULT) keeps them bf16 in HBM —
+    halving the traffic of every conv/kernel pass — while parity mode
+    stores fp32. Matmuls accumulate fp32 in both modes."""
+    import jax.numpy as jnp
+    return (jnp.bfloat16 if _current == lax.Precision.DEFAULT
+            else jnp.float32)
+
+
 @contextlib.contextmanager
 def precision(p: str | lax.Precision):
     global _current
