@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Analysis checkpoint path (npz or torch vf.ckpt)")
     parser.add_argument("--vocoder-ckpt", type=str, default=None,
                         help="Vocoder checkpoint path (npz or torch .pt)")
+    parser.add_argument("--config-preset", choices=["production", "tiny"],
+                        default="production",
+                        help="'tiny' selects the scaled-down smoke-test "
+                             "config (CI/integration tests; requires "
+                             "matching --ckpt/--vocoder-ckpt npz params)")
     return parser
 
 
@@ -133,7 +138,14 @@ def main(argv=None):
     if not args.silent:
         print("Initializing VoiceFixer")
     from voicefixer_tpu.pipeline.restore import VoiceFixer
-    voicefixer = VoiceFixer(ckpt=args.ckpt, vocoder_ckpt=args.vocoder_ckpt)
+    if args.config_preset == "tiny":
+        from voicefixer_tpu.config import tiny_test_config
+        voicefixer = VoiceFixer(ckpt=args.ckpt,
+                                vocoder_ckpt=args.vocoder_ckpt,
+                                config=tiny_test_config())
+    else:
+        voicefixer = VoiceFixer(ckpt=args.ckpt,
+                                vocoder_ckpt=args.vocoder_ckpt)
 
     modes = range(3) if args.mode == "all" else [args.mode]
     append = args.mode == "all"

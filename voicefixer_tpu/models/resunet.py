@@ -7,8 +7,10 @@ restorer/modules.py:7-157.
 TPU design: NHWC layout [B, T, F, C]; every ConvBlockRes is
 bn -> leaky(0.01) -> 3x3 conv -> bn -> leaky -> 3x3 conv (+ residual), which
 XLA fuses into implicit-GEMM convs on the MXU. Decoder upsampling is the
-polyphase transposed conv from ops.conv (no lhs_dilation). Inference BN is
-pre-folded into scale/shift when training=False.
+polyphase transposed conv from ops.conv (no lhs_dilation). Inference BN runs
+as a single multiply-add when the params carry the (scale, shift) leaves
+that ops.conv.fold_bn_eval adds at weight-load time (the BN sits before the
+leaky-relu, so it cannot be folded into the conv kernels themselves).
 """
 
 from __future__ import annotations

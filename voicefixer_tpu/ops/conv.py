@@ -169,6 +169,9 @@ def batch_norm(x: jnp.ndarray, params: dict, training: bool = False,
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes)
         var = jnp.var(x, axis=axes)
+    elif "scale" in params:
+        # pre-folded eval affine (fold_bn_eval at weight-load time)
+        return x * params["scale"] + params["shift"]
     else:
         mean, var = params["mean"], params["var"]
     inv = lax.rsqrt(var + eps)
@@ -181,6 +184,25 @@ def fold_batch_norm(params: dict, eps: float = 1e-5):
     scale = params["gamma"] * inv
     shift = params["beta"] - params["mean"] * scale
     return scale, shift
+
+
+def fold_bn_eval(params, eps: float = 1e-5):
+    """Add precomputed eval-mode (scale, shift) leaves to every BN dict in a
+    params pytree, done once at weight-load time. batch_norm(training=False)
+    then runs a single fused multiply-add instead of re-deriving
+    rsqrt(var+eps)*gamma per call; gamma/beta/mean/var are kept so the
+    mode-2 (training=True, batch-stats) path is unaffected."""
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            if all(k in node for k in ("gamma", "beta", "mean", "var")):
+                out["scale"], out["shift"] = fold_batch_norm(node, eps)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
 
 
 def reflection_pad1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:

@@ -1,10 +1,22 @@
 """Checkpoint discovery, download, and torch->JAX conversion caching.
 
-The reference downloads its two Zenodo checkpoints at *import time*
-(/root/reference/voicefixer/restorer/__init__.py:17-39,
-vocoder/__init__.py:17-28). Here downloads happen lazily at facade
-construction, are verifiable (size check), and the converted JAX pytree is
-cached as npz so torch is only needed once per machine.
+The reference downloads its two Zenodo checkpoints at *import time* with no
+integrity checking at all (/root/reference/voicefixer/restorer/__init__.py
+:17-39, vocoder/__init__.py:17-28). Here downloads happen lazily at facade
+construction and are verified before conversion:
+
+- structural check: a plausible torch checkpoint (zip/pickle magic, not a
+  tiny HTML error page) — catches truncated downloads and proxy pages;
+- sha256 pin: set VOICEFIXER_TPU_ANALYSIS_SHA256 /
+  VOICEFIXER_TPU_VOCODER_SHA256 to enforce exact digests (the canonical
+  digests are not pinned in-source because this build environment cannot
+  reach Zenodo to attest them);
+- self-consistency: the digest+size observed at first conversion are written
+  to a `<ckpt>.integrity.json` sidecar and the size is re-checked on every
+  later load, so post-download corruption is detected.
+
+The converted JAX pytree is cached as npz so torch is only needed once per
+machine.
 
 Resolution order for each module:
 1. explicit path argument (npz pytree or torch checkpoint),
@@ -34,6 +46,68 @@ TORCH_VOCODER_CKPT = os.path.join(
 CACHE_DIR = os.path.join(_HOME, ".cache/voicefixer_tpu")
 ANALYSIS_NPZ = os.path.join(CACHE_DIR, "analysis.npz")
 VOCODER_NPZ = os.path.join(CACHE_DIR, "vocoder.npz")
+
+
+_MIN_CKPT_BYTES = 10 * 1024 * 1024  # both real ckpts are hundreds of MB
+
+
+def _sha256(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def verify_checkpoint(path: str, which: str, deep: bool = True):
+    """Integrity check for a torch checkpoint at a managed cache path.
+
+    Structural: size floor + torch-serialization magic (zip "PK" for
+    torch>=1.6, pickle 0x80 for legacy). Optional exact pin via the
+    VOICEFIXER_TPU_{ANALYSIS,VOCODER}_SHA256 env vars. A sidecar
+    `<path>.integrity.json` records the first-seen digest+size; later loads
+    re-check size always and the digest when deep=True.
+    """
+    size = os.path.getsize(path)
+    if size < _MIN_CKPT_BYTES:
+        raise RuntimeError(
+            f"{which} checkpoint at {path} is only {size} bytes — a "
+            "truncated download or an HTML error page, not a model "
+            "checkpoint. Delete it and retry.")
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic not in (b"PK", b"\x80\x02", b"\x80\x03", b"\x80\x04",
+                     b"\x80\x05"):
+        raise RuntimeError(
+            f"{which} checkpoint at {path} does not look like a torch "
+            f"checkpoint (magic {magic!r}); delete it and retry.")
+
+    sidecar = path + ".integrity.json"
+    import json
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            rec = json.load(f)
+        if rec.get("size") != size:
+            raise RuntimeError(
+                f"{which} checkpoint at {path} changed size since it was "
+                f"verified ({rec.get('size')} -> {size}); it is corrupted "
+                "or was replaced. Delete it and the sidecar to re-verify.")
+        digest = _sha256(path) if deep else rec.get("sha256")
+        if deep and digest != rec.get("sha256"):
+            raise RuntimeError(
+                f"{which} checkpoint at {path} sha256 mismatch vs its "
+                "integrity sidecar; the file is corrupted.")
+    else:
+        digest = _sha256(path)
+        with open(sidecar, "w") as f:
+            json.dump({"size": size, "sha256": digest}, f)
+
+    pin = os.environ.get(f"VOICEFIXER_TPU_{which.upper()}_SHA256")
+    if pin and digest != pin.lower():
+        raise RuntimeError(
+            f"{which} checkpoint sha256 {digest} does not match the pinned "
+            f"digest {pin}.")
 
 
 def _download(url: str, dest: str):
@@ -70,6 +144,7 @@ def _load(which: str, path: str | None, download: bool) -> dict:
                 f"or pass an explicit path.")
         _download(url, torch_ckpt)
 
+    verify_checkpoint(torch_ckpt, which)
     params = convert(W.load_torch_state_dict(torch_ckpt))
     os.makedirs(CACHE_DIR, exist_ok=True)
     W.save_pytree_npz(params, npz_cache)

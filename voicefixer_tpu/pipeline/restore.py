@@ -89,7 +89,19 @@ def overlap_add(chunks: list, positions: list, total: int,
 
 
 def _trim_center(est: np.ndarray, ref_len: int) -> np.ndarray:
-    """Center-trim est's last axis to ref_len (base.py:63-76)."""
+    """Center-trim est's last axis to ref_len (base.py:63-76).
+
+    Reference semantics, case by case (tests/test_pipeline.py has the
+    side-by-side proof):
+    - est longer, even diff: trim diff/2 from each side (the executed case —
+      the vocoder tail pad is always an even sample count at hop 441).
+    - est longer, ODD diff: the reference computes `est[..., 0:-0]`, i.e. an
+      EMPTY array (diff//2 == 0 makes the stop index -0) — a latent bug never
+      hit at inference; here the head is kept and the tail cropped instead.
+    - est shorter: the reference trims `ref` and returns `est` UNCHANGED
+      (base.py:72-76 — min_len == est length, so est[..., :min_len] is est),
+      and the caller discards the trimmed ref; identical here.
+    """
     diff = abs(est.shape[-1] - ref_len)
     if est.shape[-1] == ref_len:
         return est
@@ -97,7 +109,7 @@ def _trim_center(est: np.ndarray, ref_len: int) -> np.ndarray:
         if diff // 2 > 0:
             est = est[..., diff // 2: -(diff // 2)]
         return est[..., :ref_len]
-    return est  # shorter than ref: reference trims ref instead; keep est
+    return est
 
 
 def restore_batch(analysis_params: dict, vocoder_params: dict,
@@ -153,7 +165,8 @@ class VoiceFixer:
             if vocoder_params is None:
                 vocoder_params = checkpoints.load_vocoder_params(
                     vocoder_ckpt, download=download)
-        self.params = params
+        from voicefixer_tpu.ops.conv import fold_bn_eval
+        self.params = fold_bn_eval(params)
         self.vocoder_params = vocoder_params
         self._jit_segment = jax.jit(
             partial(restore_segment, cfg=config),
