@@ -91,9 +91,8 @@ def bench_resstack():
                   for i in range(8)]
         x = 0.1 * jax.random.normal(keys[-1], (1, t, ch), dtype=jnp.float32)
 
-        jax_ms = timeit(jax.jit(functools.partial(
-            _res_stack, kernel=3, slope=0.2), static_argnums=()),
-            params, x, iters=5)
+        jax_ms = timeit(jax.jit(lambda p, a: _res_stack(
+            p, a, kernel=3, slope=0.2)[0]), params, x, iters=5)
         pallas_ms = timeit(jax.jit(functools.partial(
             res_stack, kernel=3, slope=0.2, t_tile=t_tile)),
             params, x, iters=5)

@@ -76,8 +76,45 @@ def test_res_stack_matches_model_path(monkeypatch):
                       "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
               for i in range(depth)]
     x = _rand(keys[-1], (1, t, ch))
-    ref = _res_stack(params, x, 3, 0.2)
+    ref, activated = _res_stack(params, x, 3, 0.2)
+    assert not activated  # jax path on CPU
     got = resstack.res_stack(params, x, 3, 0.2, t_tile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_res_chain_matches_blocks():
+    """Chained kernel == sequential single blocks, including the folded
+    stage-final activation and the zero-pad masking between chained
+    blocks."""
+    from voicefixer_tpu.kernels import resstack
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch, t = 128, 700
+    dils = (1, 3, 9)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(dils) * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.05)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
+              for i in range(len(dils))]
+    x = _rand(keys[-1], (1, t, ch))
+
+    ref = x
+    for p, d in zip(params, dils):
+        h = leaky_relu(ref, 0.2)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, 0.2)
+        ref = ref + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+    ref = leaky_relu(ref, 0.3)
+
+    got = resstack.res_chain(
+        x,
+        jnp.stack([p["c1"]["w"] for p in params]),
+        jnp.stack([p["c1"]["b"] for p in params]),
+        jnp.stack([p["c2"]["w"] for p in params]),
+        jnp.stack([p["c2"]["b"] for p in params]),
+        dils=dils, slope=0.2, final_slope=0.3, t_tile=256, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
 

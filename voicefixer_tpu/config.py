@@ -157,6 +157,20 @@ class VoiceFixerConfig:
 DEFAULT_CONFIG = VoiceFixerConfig()
 
 
+def small_tp_config() -> VoiceFixerConfig:
+    """Small config whose channel widths are wide enough (>= 64) for the
+    "model" mesh axis to actually shard kernels (parallel.sharding's
+    min_channels) — used by the TP inference parity tests and the multichip
+    dryrun. NOT numerically related to the reference checkpoints."""
+    return VoiceFixerConfig(
+        denoiser=DenoiserConfig(base_width=64),
+        unet=ResUNetConfig(encoder_channels=(16, 64), blocks_per_stage=1,
+                           center_channels=64),
+        vocoder=VocoderConfig(cond_channels=64, channels=256),
+        pipeline=PipelineConfig(seg_length_seconds=1),
+    )
+
+
 def tiny_test_config() -> VoiceFixerConfig:
     """Scaled-down config (same structure, tiny channels) for fast jit in
     tests, CPU-mesh dry runs, and CI — NOT numerically related to the

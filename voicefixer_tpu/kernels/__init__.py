@@ -24,8 +24,13 @@ import jax
 
 
 def enabled() -> bool:
-    """Use Pallas kernels? True on a real TPU backend unless disabled."""
+    """Use Pallas kernels? True on a real TPU backend unless disabled.
+    Model-parallel meshes route to the plain-jax path: the kernels are
+    single-device programs with no GSPMD partitioning rule (parallel.tp)."""
     if os.environ.get("VF_TPU_NO_PALLAS"):
+        return False
+    from voicefixer_tpu.parallel import tp
+    if tp.model_parallel():
         return False
     try:
         return jax.default_backend() == "tpu"

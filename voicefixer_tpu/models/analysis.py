@@ -63,11 +63,15 @@ def apply(params: dict, mel_orig: jnp.ndarray, cfg: VoiceFixerConfig,
     Returns dict with 'mel' (restored log10-mel, [B, T, 128]), 'clean'
     (masked linear mel), 'unet_out'.
     """
+    from voicefixer_tpu.parallel.tp import replicate_model
     mask = dn.apply(params["denoiser"], mel_orig, cfg.denoiser,
                     training=training, rng=rng)
     clean = mask * mel_orig
     x = to_log(clean)
     unet_in = jnp.stack([to_log(mel_orig), x], axis=-1)  # [B, T, 128, 2]
+    # the mel axis is SPATIAL for the U-Net (freq convs/pools) — never let a
+    # model-axis sharding ride in on it (parallel.tp.replicate_model)
+    unet_in = replicate_model(unet_in)
     unet_out = resunet.apply(params["unet"], unet_in, cfg.unet,
                              training=training)[..., 0]  # [B, T, 128]
     return {"mel": unet_out + x, "clean": clean, "unet_out": unet_out}

@@ -76,17 +76,20 @@ def apply(params: dict, x: jnp.ndarray, cfg: ResUNetConfig,
     x = jnp.pad(x, [(0, 0), (0, pad_len), (0, 0), (0, 0)])
     x = x[:, :, : x.shape[2] - 1, :]  # [B, T', 127, C]
 
+    from voicefixer_tpu.parallel.tp import constrain_channels
     n = cfg.levels
     skips = []
     h = x
     for i in range(n):
         h, pre = _encoder_block(params[f"enc{i + 1}"], h, slope, training,
                                 cfg.blocks_per_stage)
+        h = constrain_channels(h)
         skips.append(pre)
     h = _conv_block_res(params["center"], h, slope, training)
     for i in range(n):
-        h = _decoder_block(params[f"dec{i + 1}"], h, skips[n - 1 - i], slope,
-                           training, cfg.blocks_per_stage)
+        h = constrain_channels(
+            _decoder_block(params[f"dec{i + 1}"], h, skips[n - 1 - i], slope,
+                           training, cfg.blocks_per_stage))
     h = _conv_block_res(params["after1"], h, slope, training)
     h = conv2d(h, params["after2"]["w"], params["after2"]["b"])
     h = jnp.pad(h, [(0, 0), (0, 0), (0, 1), (0, 0)])  # restore freq bin

@@ -31,10 +31,12 @@ from voicefixer_tpu.ops.conv import (conv1d, conv_transpose1d, elu,
 from voicefixer_tpu.ops.precision import activation_dtype, get_precision
 
 
-def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
-               ) -> jnp.ndarray:
+def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
+               final_slope: float | None = None):
     """ResStack (modules.py:531-595): depth-8 dilated residual conv pairs,
-    dilations 3^(i%10)."""
+    dilations 3^(i%10). Returns (out, activated): when the fused kernel path
+    folds the stage-final LeakyReLU(final_slope) into its epilogue
+    (generator.py:94), activated is True and the caller skips it."""
     from voicefixer_tpu import kernels
     ch = x.shape[-1]
     if (kernel == 3 and kernels.use("resstack")
@@ -43,7 +45,9 @@ def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
         # non-multiples above 128 (only in test configs) take the conv path
         from voicefixer_tpu.kernels.resstack import res_stack
         return res_stack(params, x, kernel, slope,
-                         matmul_dtype=kernels.matmul_dtype())
+                         final_slope=final_slope,
+                         matmul_dtype=kernels.matmul_dtype()), \
+            final_slope is not None
     for i, layer in enumerate(params):
         dil = 3 ** (i % 10)
         pad = (kernel * dil - dil) // 2
@@ -54,7 +58,7 @@ def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float
         h = conv1d(h, layer["c2"]["w"], layer["c2"]["b"],
                    padding=(kernel - 1) // 2)
         x = x + h
-    return x
+    return x, False
 
 
 def _upsample(params: dict, x: jnp.ndarray, scale: int) -> jnp.ndarray:
@@ -104,21 +108,27 @@ def apply(params: dict, mel: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
     activations are stored bf16 — the late stages are HBM-bandwidth-bound,
     so storage dtype sets throughput; matmuls still accumulate fp32. Parity
     mode (HIGHEST) keeps everything fp32."""
+    from voicefixer_tpu.parallel.tp import constrain_channels
     adt = activation_dtype()
     if adt != mel.dtype:
         params = jax.tree.map(lambda p: p.astype(adt), params)
     x = mel.astype(adt)
     # condnet: 5x (conv k3 pad1 + ELU) (generator.py:33-54)
     for layer in params["condnet"]:
-        x = elu(conv1d(x, layer["w"], layer["b"], padding=1))
+        x = constrain_channels(elu(conv1d(x, layer["w"], layer["b"],
+                                          padding=1)))
     # pre conv: reflection pad 3 + k7 (generator.py:74-76)
     x = conv1d(reflection_pad1d(x, 3), params["pre"]["w"], params["pre"]["b"])
-    x = leaky_relu(x, cfg.leaky_slope_act)
+    x = constrain_channels(leaky_relu(x, cfg.leaky_slope_act))
     for i, stage in enumerate(params["stages"]):
-        x = _upsample(stage["up"], x, cfg.upsample_scales[i])
-        x = _res_stack(stage["res"], x, cfg.resstack_kernel[i],
-                       cfg.leaky_slope_res)
-        x = leaky_relu(x, cfg.leaky_slope_act)
+        x = constrain_channels(
+            _upsample(stage["up"], x, cfg.upsample_scales[i]))
+        x, activated = _res_stack(stage["res"], x, cfg.resstack_kernel[i],
+                                  cfg.leaky_slope_res,
+                                  final_slope=cfg.leaky_slope_act)
+        if not activated:
+            x = leaky_relu(x, cfg.leaky_slope_act)
+        x = constrain_channels(x)
     return _post_conv(params["post"], x).astype(mel.dtype)
 
 

@@ -49,7 +49,10 @@ def restore_wavs(vf, wavs, mode: int = 0, mesh=None,
         raise ValueError("data-parallel restore supports eval modes 0/1; "
                          "mode 2's per-chunk BN statistics are inherently "
                          "sequential")
-    mesh = mesh or make_mesh()
+    # model parallelism rides the vf instance: a VoiceFixer built with an
+    # n_model>1 mesh already holds channel-sharded params and mesh-wrapped
+    # jits; this function only adds chunk-level batch sharding over "data".
+    mesh = mesh if mesh is not None else (vf.mesh or make_mesh())
     n_data = mesh.shape["data"]
 
     # gather (file, position) -> segment, grouped by segment length

@@ -16,8 +16,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# param subtrees that must stay replicated (sequential cells, scalar stats)
-_REPLICATED_KEYS = ("gru", "bn", "mean", "var", "gamma", "beta")
+# param subtrees that must stay replicated: sequential cells and scalar
+# stats, plus the whole denoiser — its FC widths are the MEL axis (n_mel
+# = 128), which is a *spatial* axis for the downstream U-Net, not a channel
+# axis; sharding it would push a frequency-sharded activation into the
+# U-Net's freq convs/pools (and it is GRU-serial and tiny anyway).
+_REPLICATED_KEYS = ("gru", "bn", "mean", "var", "gamma", "beta", "denoiser")
 
 
 def _spec_for(path: str, x, n_model: int,

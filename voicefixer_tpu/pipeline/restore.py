@@ -155,8 +155,15 @@ class VoiceFixer:
                  params: dict | None = None,
                  vocoder_params: dict | None = None,
                  config: VoiceFixerConfig = DEFAULT_CONFIG,
-                 download: bool = True):
+                 download: bool = True,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh ("data", "model"). With
+        n_model > 1, conv kernels are sharded channel-out over "model"
+        (parallel.sharding) and the traced programs pin activations with
+        sharding constraints (parallel.tp) — GSPMD tensor parallelism over
+        ICI. The mesh is fixed per instance so jit caches stay coherent."""
         self.config = config
+        self.mesh = mesh
         if params is None or vocoder_params is None:
             from voicefixer_tpu.pipeline import checkpoints
             if params is None:
@@ -168,27 +175,34 @@ class VoiceFixer:
         from voicefixer_tpu.ops.conv import fold_bn_eval
         self.params = fold_bn_eval(params)
         self.vocoder_params = vocoder_params
-        self._jit_segment = jax.jit(
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from voicefixer_tpu.parallel.sharding import shard_params
+            self.params = shard_params(self.params, mesh)
+            self.vocoder_params = shard_params(self.vocoder_params, mesh)
+        from voicefixer_tpu.parallel import tp
+        self._jit_segment = tp.wrap(jax.jit(
             partial(restore_segment, cfg=config),
-            static_argnames=("training",))
-        self._jit_batch = jax.jit(
+            static_argnames=("training",)), mesh)
+        self._jit_batch = tp.wrap(jax.jit(
             partial(restore_batch, cfg=config),
-            static_argnames=("training",))
-        self._jit_mel = jax.jit(
+            static_argnames=("training",)), mesh)
+        self._jit_mel = tp.wrap(jax.jit(
             partial(analysis.restore_mel, cfg=config),
-            static_argnames=("training",))
-        self._jit_hf = jax.jit(partial(remove_higher_frequency, cfg=config))
+            static_argnames=("training",)), mesh)
+        self._jit_hf = tp.wrap(
+            jax.jit(partial(remove_higher_frequency, cfg=config)), mesh)
 
     @classmethod
     def random(cls, seed: int = 0,
-               config: VoiceFixerConfig = DEFAULT_CONFIG) -> "VoiceFixer":
+               config: VoiceFixerConfig = DEFAULT_CONFIG,
+               mesh=None) -> "VoiceFixer":
         """Randomly initialized pipeline (tests/benchmarks in zero-egress
         environments)."""
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         from voicefixer_tpu.models import vocoder as vocoder_model
         return cls(params=analysis.init(k1, config),
                    vocoder_params=vocoder_model.init(k2, config.vocoder),
-                   config=config)
+                   config=config, mesh=mesh)
 
     # ------------------------------------------------------------- pipeline
 
