@@ -118,11 +118,35 @@ def build_parser() -> argparse.ArgumentParser:
                         help="'tiny' selects the scaled-down smoke-test "
                              "config (CI/integration tests; requires "
                              "matching --ckpt/--vocoder-ckpt npz params)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of the jax.distributed coordinator "
+                             "for multi-host runs ('auto' on TPU pods with "
+                             "platform metadata); run the same command on "
+                             "every host. Defaults to $VF_COORDINATOR.")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="Total process count for --coordinator runs "
+                             "(default $VF_NUM_PROCESSES).")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This host's process index for --coordinator "
+                             "runs (default $VF_PROCESS_ID).")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # VF_PLATFORM=cpu forces the backend even where a site hook pre-registers
+    # an accelerator plugin and ignores JAX_PLATFORMS (set via jax.config,
+    # which wins as long as no backend has been initialized yet)
+    if os.environ.get("VF_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["VF_PLATFORM"])
+
+    # multi-host bootstrap must precede any jax backend use
+    from voicefixer_tpu.parallel import distributed
+    distributed.initialize(coordinator=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
 
     from voicefixer_tpu.utils import compile_cache
     compile_cache.enable()

@@ -46,3 +46,15 @@ def shard_batch(mesh: Mesh, tree):
     """Place a pytree of [B, ...] arrays batch-sharded over the mesh."""
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), tree)
+
+
+def global_batch(mesh: Mesh, x):
+    """Assemble a batch-sharded GLOBAL array on a (possibly multi-process)
+    mesh. Single-process: a plain sharded device_put of the full batch.
+    Multi-process (jax.distributed initialized): each process passes its own
+    LOCAL rows and the runtime stitches the global [B_total, ...] array —
+    the multi-host input path for data-parallel inference/training."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+    return jax.make_array_from_process_local_data(
+        data_sharding(mesh, x.ndim), x)
