@@ -6,10 +6,13 @@ Prints one JSON line per benchmark:
   {"metric": "...", "value": ..., "unit": "...", "jax_ms": ..., "pallas_ms":
    ..., "speedup": ..., "sol_pct": ...}
 
+Timing uses the chained-in-program methodology from bench_stages.chained_ms
+(K applications inside one jit, differenced across two K values) — the
+development tunnel's per-dispatch cost would otherwise swamp every kernel.
+
 Roofline reference (TPU v5e, the bench chip): 819 GB/s HBM, 197 TFLOP/s
-bf16 / ~49 TFLOP/s fp32 MXU. The ResStack blocks at C<=128 are bandwidth-
-bound; GRU is latency-bound (serial recurrence) so its "speed of light" is
-reported as steps/s rather than a roofline %.
+bf16 / ~49 TFLOP/s fp32 MXU. GRU is latency-bound (serial recurrence) so
+its "speed of light" is reported as steps/s rather than a roofline %.
 """
 
 from __future__ import annotations
@@ -18,29 +21,19 @@ import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from benchmarks.bench_stages import chained_ms
+
 HBM_GBPS = 819.0
 
 
-def timeit(fn, *args, iters=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
-
-
 def bench_gru():
-    from voicefixer_tpu.kernels.gru import gru_seq
+    from voicefixer_tpu.kernels.gru import gru_seq, gru_seq_bidir
     from voicefixer_tpu.ops import gru as vgru
 
     b, t, h, in_dim = 1, 3008, 256, 512
@@ -56,21 +49,29 @@ def bench_gru():
     w_hh_t = jnp.asarray(params["w_hh"].T)
     b_hh = jnp.asarray(params["b_hh"])
 
+    def adapt(xp, out):  # [B,T,H] back to [B,T,3H]
+        return xp + 1e-3 * jnp.concatenate([out] * 3, axis=-1)
+
     prev = os.environ.get("VF_TPU_NO_PALLAS")
     os.environ["VF_TPU_NO_PALLAS"] = "1"
-    jax_ms = timeit(jax.jit(functools.partial(
-        vgru.gru_single_direction, params=params)), x)
+    jax_ms = chained_ms(
+        lambda xp: adapt(xp, vgru.gru_single_direction(
+            x, dict(params, b_ih=xp[0, 0]))), x_proj, ks=(2, 4))
     if prev is None:
         del os.environ["VF_TPU_NO_PALLAS"]
-    pallas_ms = timeit(functools.partial(gru_seq, reverse=False),
-                       x_proj, w_hh_t, b_hh)
+    pallas_ms = chained_ms(
+        lambda xp: adapt(xp, gru_seq(xp, w_hh_t, b_hh)), x_proj, ks=(2, 4))
+    bidir_ms = chained_ms(
+        lambda xp: adapt(xp, jnp.add(*gru_seq_bidir(
+            xp, xp, w_hh_t, w_hh_t, b_hh, b_hh))), x_proj, ks=(2, 4))
     print(json.dumps({
         "metric": "gru_recurrence_T3008_H256",
         "value": round(t / (pallas_ms / 1e3) / 1e6, 3),
         "unit": "Msteps_per_s",
         "jax_ms": round(jax_ms, 3), "pallas_ms": round(pallas_ms, 3),
+        "bidir_fused_ms_per_dir": round(bidir_ms / 2, 3),
         "speedup": round(jax_ms / pallas_ms, 2),
-    }))
+    }), flush=True)
 
 
 def bench_resstack():
@@ -78,9 +79,8 @@ def bench_resstack():
     from voicefixer_tpu.models.vocoder import _res_stack
 
     # production vocoder stage shapes for a 30 s chunk (T_mel=3008)
-    stages = [(21056, 512, 2048), (147392, 256, 4096),
-              (442176, 128, 8192), (1326528, 64, 16384)]
-    for t, ch, t_tile in stages:
+    stages = [(21056, 512), (147392, 256), (442176, 128), (1326528, 64)]
+    for t, ch in stages:
         keys = jax.random.split(jax.random.PRNGKey(ch), 33)
         params = [{"c1": {"w": 0.05 * jax.random.normal(keys[4 * i],
                                                         (3, ch, ch)),
@@ -91,11 +91,12 @@ def bench_resstack():
                   for i in range(8)]
         x = 0.1 * jax.random.normal(keys[-1], (1, t, ch), dtype=jnp.float32)
 
-        jax_ms = timeit(jax.jit(lambda p, a: _res_stack(
-            p, a, kernel=3, slope=0.2)[0]), params, x, iters=5)
-        pallas_ms = timeit(jax.jit(functools.partial(
-            res_stack, kernel=3, slope=0.2, t_tile=t_tile)),
-            params, x, iters=5)
+        jax_ms = chained_ms(
+            lambda a: _res_stack(params, a, kernel=3, slope=0.2)[0], x,
+            ks=(2, 4))
+        pallas_ms = chained_ms(
+            lambda a: res_stack(params, a, kernel=3, slope=0.2), x,
+            ks=(2, 4))
         # min traffic: per block read x + write y (f32)
         gb = 8 * 2 * t * ch * 4 / 1e9
         sol_ms = gb / HBM_GBPS * 1e3
@@ -107,7 +108,7 @@ def bench_resstack():
             "jax_ms": round(jax_ms, 3), "pallas_ms": round(pallas_ms, 3),
             "speedup": round(jax_ms / pallas_ms, 2),
             "sol_pct": round(100 * sol_ms / best, 1),
-        }))
+        }), flush=True)
 
 
 def bench_upsample():
@@ -123,15 +124,20 @@ def bench_upsample():
         b = jnp.zeros((cout,))
         x = 0.1 * jax.random.normal(keys[1], (1, t, cin), dtype=jnp.float32)
 
-        def jax_path(x, w, b):
+        def jax_body(x):
             a = x + jnp.sin(x)
-            return conv_transpose1d(a, w, b, stride=s,
-                                    padding=s // 2 + s % 2,
-                                    output_padding=s % 2)
+            y = conv_transpose1d(a, w, b, stride=s, padding=s // 2 + s % 2,
+                                 output_padding=s % 2)
+            return x + 1e-3 * jnp.repeat(y[:, ::s, :], cin // cout,
+                                         axis=-1)[:, :t, :]
 
-        jax_ms = timeit(jax.jit(jax_path), x, w, b, iters=5)
-        pallas_ms = timeit(functools.partial(upsample, scale=s), x, w, b,
-                           iters=5)
+        def pallas_body(x):
+            y = upsample(x, w, b, scale=s)
+            return x + 1e-3 * jnp.repeat(y[:, ::s, :], cin // cout,
+                                         axis=-1)[:, :t, :]
+
+        jax_ms = chained_ms(jax_body, x, ks=(2, 4))
+        pallas_ms = chained_ms(pallas_body, x, ks=(2, 4))
         flops = 2 * t * 2 * s * cin * cout
         best = min(jax_ms, pallas_ms)
         print(json.dumps({
@@ -140,7 +146,7 @@ def bench_upsample():
             "unit": "TFLOP_per_s",
             "jax_ms": round(jax_ms, 3), "pallas_ms": round(pallas_ms, 3),
             "speedup": round(jax_ms / pallas_ms, 2),
-        }))
+        }), flush=True)
 
 
 def bench_stft_mel():
@@ -157,13 +163,15 @@ def bench_stft_mel():
         cfg.mel.n_stft, cfg.mel.f_min, cfg.mel.f_max, cfg.mel.n_mels,
         cfg.mel.sample_rate, norm=None), dtype=jnp.float32)
 
-    def jax_path(wav, fb):
+    def jax_body(wav):
         sp = vstft.spectrogram(wav, cfg.stft, eps=cfg.stft.mag_eps)
-        return jnp.matmul(sp, fb)
+        return wav * (1 + 1e-6 * jnp.mean(jnp.matmul(sp, fb)))
 
-    jax_ms = timeit(jax.jit(jax_path), wav, fb, iters=5)
-    pallas_ms = timeit(functools.partial(stft_mel, cfg=cfg.stft), wav, fb,
-                       iters=5)
+    def pallas_body(wav):
+        return wav * (1 + 1e-6 * jnp.mean(stft_mel(wav, fb, cfg.stft)))
+
+    jax_ms = chained_ms(jax_body, wav, ks=(2, 4))
+    pallas_ms = chained_ms(pallas_body, wav, ks=(2, 4))
     t_frames = n // cfg.stft.hop_length + 1
     flops = 2 * t_frames * cfg.stft.n_fft * 2 * 1152
     best = min(jax_ms, pallas_ms)
@@ -173,7 +181,7 @@ def bench_stft_mel():
         "unit": "TFLOP_per_s",
         "jax_ms": round(jax_ms, 3), "pallas_ms": round(pallas_ms, 3),
         "speedup": round(jax_ms / pallas_ms, 2),
-    }))
+    }), flush=True)
 
 
 def main():

@@ -5,6 +5,11 @@ kernel/precision work should go. Defaults to the production precision
 (bf16 operands, fp32 accumulation); BENCH_PRECISION=highest for the fp32
 parity-path numbers.
 
+Methodology (same as bench.py): K applications of each stage CHAINED inside
+one jitted program (the output feeds the next input, so nothing is elided),
+timed to a value fetch, differenced between K=4 and K=8 — this cancels the
+development tunnel's per-dispatch cost and reports pure device time.
+
 Prints one JSON line per stage.
 """
 
@@ -19,16 +24,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def chained_ms(body, x0, ks=(4, 8), reps=3):
+    """Device ms per application of `body` (a shape-preserving fn)."""
     import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    import jax.numpy as jnp
+
+    res = {}
+    for k in ks:
+        @jax.jit
+        def prog(x):
+            return jax.lax.fori_loop(0, k, lambda i, x: body(x), x)
+        times = []
+        for rep in range(reps):
+            xi = x0 * (1.0 + 1e-4 * rep)
+            float(jnp.sum(xi[..., ::1000]))  # materialize input first
+            t0 = time.perf_counter()
+            out = prog(xi)
+            float(jnp.sum(out[..., ::1000]))  # value fetch forces execution
+            times.append((time.perf_counter() - t0) * 1e3)
+        res[k] = min(times)
+    return (res[ks[1]] - res[ks[0]]) / (ks[1] - ks[0])
 
 
 def main():
@@ -37,6 +52,7 @@ def main():
 
     from voicefixer_tpu.config import DEFAULT_CONFIG
     from voicefixer_tpu.models import analysis, denoiser, resunet, vocoder
+    from voicefixer_tpu.ops.conv import fold_bn_eval
     from voicefixer_tpu.ops.norm import from_log, to_log
     from voicefixer_tpu.ops.precision import set_precision
     from voicefixer_tpu.pipeline import vocoder_facade
@@ -49,7 +65,7 @@ def main():
     n = int(cfg.pipeline.sample_rate * seconds)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    params = analysis.init(k1, cfg)
+    params = fold_bn_eval(analysis.init(k1, cfg))  # serving path folds BN
     vparams = vocoder.init(k2, cfg.vocoder)
     wav = jax.random.normal(jax.random.PRNGKey(3), (1, n),
                             dtype=jnp.float32) * 0.1
@@ -59,25 +75,23 @@ def main():
         params["denoiser"], mel)
     clean = mask * mel
     unet_in = jnp.stack([to_log(mel), to_log(clean)], axis=-1)
-    unet_out = jax.jit(functools.partial(resunet.apply, cfg=cfg.unet))(
-        params["unet"], unet_in)
-    restored = from_log(unet_out[..., 0] + to_log(clean))
+    t_mel = mel.shape[1]
 
     stages = {
-        "stft_mel": (jax.jit(functools.partial(analysis.wav_to_mel, cfg=cfg)),
-                     (wav,)),
-        "denoiser": (jax.jit(functools.partial(denoiser.apply,
-                                               cfg=cfg.denoiser)),
-                     (params["denoiser"], mel)),
-        "resunet": (jax.jit(functools.partial(resunet.apply, cfg=cfg.unet)),
-                    (params["unet"], unet_in)),
-        "vocoder": (jax.jit(functools.partial(vocoder_facade.synthesize,
-                                              cfg=cfg.vocoder)),
-                    (vparams, restored)),
+        # each body maps its input shape back to itself via a cheap adapter
+        "stft_mel": (lambda w: w * (1 + 1e-6 * jnp.mean(
+            analysis.wav_to_mel(w, cfg))), wav),
+        "denoiser": (lambda m: denoiser.apply(params["denoiser"], m,
+                                              cfg.denoiser), mel),
+        "resunet": (lambda u: jnp.concatenate(
+            [resunet.apply(params["unet"], u, cfg.unet)] * 2, -1), unet_in),
+        "vocoder": (lambda m: m + 1e-3 * vocoder_facade.synthesize(
+            vparams, m, cfg.vocoder)[:, ::441, 0][:, :t_mel, None],
+            from_log(unet_in[..., 0])),
     }
     total = 0.0
-    for name, (fn, args) in stages.items():
-        ms = timeit(fn, *args, iters=5)
+    for name, (body, x0) in stages.items():
+        ms = chained_ms(body, x0)
         total += ms
         print(json.dumps({"metric": f"stage_{name}", "value": round(ms, 2),
                           "unit": "ms_per_30s_chunk"}), flush=True)

@@ -41,6 +41,36 @@ def test_gru_kernel_matches_scan(reverse, t):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("t", [7, 256, 300])
+def test_gru_bidir_kernel_matches_scan(t):
+    """Fused fwd+bwd recurrence == the two single-direction scans."""
+    from voicefixer_tpu.kernels.gru import gru_seq_bidir
+
+    b, in_dim, h = 2, 64, 128
+    keys = jax.random.split(jax.random.PRNGKey(5), 9)
+    pf = {"w_ih": _rand(keys[0], (3 * h, in_dim), 0.1),
+          "w_hh": _rand(keys[1], (3 * h, h), 0.1),
+          "b_ih": _rand(keys[2], (3 * h,), 0.1),
+          "b_hh": _rand(keys[3], (3 * h,), 0.1)}
+    pb = {"w_ih": _rand(keys[4], (3 * h, in_dim), 0.1),
+          "w_hh": _rand(keys[5], (3 * h, h), 0.1),
+          "b_ih": _rand(keys[6], (3 * h,), 0.1),
+          "b_hh": _rand(keys[7], (3 * h,), 0.1)}
+    x = _rand(keys[8], (b, t, in_dim))
+
+    ref_f = vgru.gru_single_direction(x, pf, reverse=False)
+    ref_b = vgru.gru_single_direction(x, pb, reverse=True)
+
+    xf = jnp.einsum("bti,gi->btg", x, pf["w_ih"]) + pf["b_ih"]
+    xb = jnp.einsum("bti,gi->btg", x, pb["w_ih"]) + pb["b_ih"]
+    got_f, got_b = gru_seq_bidir(xf, xb, pf["w_hh"].T, pb["w_hh"].T,
+                                 pf["b_hh"], pb["b_hh"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("dil", [1, 3, 27])
 @pytest.mark.parametrize("t,ch", [(300, 128), (2048, 64), (2500, 64)])
 def test_res_block_matches_jax_conv(dil, t, ch):
@@ -117,6 +147,67 @@ def test_res_chain_matches_blocks():
         dils=dils, slope=0.2, final_slope=0.3, t_tile=256, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_res_fold_matches_plain():
+    """Time-folded C=64 path == plain conv reference, including both seam
+    margins and the true signal edges (depth-4 stack keeps the receptive
+    field small enough for interpret mode)."""
+    from voicefixer_tpu.kernels import resstack
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch, t, depth = 64, 1000, 4
+    dils = tuple(3 ** (i % 10) for i in range(depth))
+    reach = resstack._ceil8(sum(d + 1 for d in dils)) + 8
+    assert t >= 8 * reach  # the dispatch condition actually folds
+    keys = jax.random.split(jax.random.PRNGKey(11), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.05)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
+              for i in range(depth)]
+    x = _rand(keys[-1], (1, t, ch))
+
+    ref = x
+    for p, d in zip(params, dils):
+        h = leaky_relu(ref, 0.2)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, 0.2)
+        ref = ref + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+    ref = leaky_relu(ref, 0.3)
+
+    got = resstack._res_fold(params, x, dils, 0.2, 0.3, t_tile=256,
+                             matmul_dtype=jnp.float32, interpret=True,
+                             reach=reach)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+    # the public dispatch takes the fold path for this shape
+    got2 = resstack.res_stack(params, x, 3, 0.2, t_tile=256,
+                              final_slope=0.3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("ch", [128, 256, 512])
+def test_plan_chain_partitions(ch):
+    """The DP planner must produce a contiguous partition with VMEM-feasible
+    tiles; jax fallback (tile None) only for groups no tile can fit."""
+    from voicefixer_tpu.kernels import resstack
+    dils = tuple(3 ** (i % 10) for i in range(8))
+    for t_total in (21000, 1323000):
+        groups = resstack.plan_chain(ch, dils, 2, 2, t_total=t_total)
+        assert groups[0][0] == 0 and groups[-1][1] == len(dils)
+        for (a, b, tt), (a2, _, _) in zip(groups, groups[1:]):
+            assert b == a2
+        for a, b, tt in groups:
+            if tt is None:
+                assert b - a == 1  # only singles may fall back
+                assert all(resstack.chain_vmem_bytes(
+                    ch, dils[a:b], t, 2, 2) > resstack.VMEM_BUDGET
+                    for t in (256, 512, 1024, 2048, 4096, 8192))
+            else:
+                assert resstack.chain_vmem_bytes(
+                    ch, dils[a:b], tt, 2, 2) <= resstack.VMEM_BUDGET
 
 
 @pytest.mark.parametrize("scale,cin,cout", [(7, 64, 32), (3, 128, 64)])

@@ -25,15 +25,23 @@ def test_mesh_shapes():
 
 
 def test_param_specs_policy():
+    from voicefixer_tpu.config import small_tp_config
     cfg = tiny_config()
     params = analysis.init(jax.random.PRNGKey(0), cfg)
     specs = param_specs(params, n_model=2, min_channels=64)
     # GRU weights replicated
     assert specs["denoiser"]["gru7"]["gru"]["l0"]["w_ih"] == P()
-    # large linear sharded on the output axis (128 -> base_width)
-    assert specs["denoiser"]["fc1"]["w"] == P(None, "model")
+    # the WHOLE denoiser is replicated: its FC widths are the mel axis,
+    # which is a spatial axis for the downstream U-Net (parallel/sharding.py)
+    assert specs["denoiser"]["fc1"]["w"] == P()
     # BN stats replicated
     assert specs["unet"]["enc1"]["block1"]["bn1"]["gamma"] == P()
+    # wide U-Net conv kernels DO shard channel-out
+    cfg2 = small_tp_config()
+    params2 = analysis.init(jax.random.PRNGKey(0), cfg2)
+    specs2 = param_specs(params2, n_model=2, min_channels=64)
+    assert specs2["unet"]["enc2"]["block1"]["conv1"]["w"] == \
+        P(None, None, None, "model")
 
 
 def test_analysis_loss_finite():
@@ -106,9 +114,13 @@ def test_train_step_sharded_matches_unsharded(n_data, n_model,
 
 
 def test_shard_params_places_on_mesh():
-    cfg = tiny_config()
+    from voicefixer_tpu.config import small_tp_config
+    cfg = small_tp_config()
     params = analysis.init(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(n_data=4, n_model=2)
     sharded = shard_params(params, mesh)
-    w = sharded["denoiser"]["fc1"]["w"]
-    assert w.sharding.spec == P(None, "model")
+    # wide U-Net kernel sharded channel-out on the device mesh
+    w = sharded["unet"]["enc2"]["block1"]["conv1"]["w"]
+    assert w.sharding.spec == P(None, None, None, "model")
+    # denoiser stays replicated (mel-axis widths; parallel/sharding.py)
+    assert sharded["denoiser"]["fc1"]["w"].sharding.spec == P()

@@ -153,8 +153,24 @@ def main(argv=None):
 
     if args.weight_prepare:
         from voicefixer_tpu.pipeline import checkpoints
-        checkpoints.load_analysis_params(args.ckpt)
-        checkpoints.load_vocoder_params(args.vocoder_ckpt)
+        analysis_params = checkpoints.load_analysis_params(args.ckpt)
+        vocoder_params = checkpoints.load_vocoder_params(args.vocoder_ckpt)
+        # pre-warm the persistent XLA cache with the production 30 s chunk
+        # program so the first real restore skips the cold compile
+        # (Docker bakes this into the image layer)
+        if not os.environ.get("VF_SKIP_PREWARM"):
+            import jax.numpy as jnp
+
+            from voicefixer_tpu.config import DEFAULT_CONFIG
+            from voicefixer_tpu.pipeline.restore import VoiceFixer
+            if not args.silent:
+                print("Pre-warming the compile cache (30 s chunk program)")
+            vf = VoiceFixer(params=analysis_params,
+                            vocoder_params=vocoder_params)
+            seg = DEFAULT_CONFIG.pipeline.seg_length
+            vf._jit_batch(vf.params, vf.vocoder_params,
+                          jnp.zeros((1, seg), jnp.float32),
+                          training=False, rng=None)
         return 0
 
     process_file, process_folder = check_arguments(args)

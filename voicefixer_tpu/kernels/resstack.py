@@ -70,45 +70,89 @@ def chain_vmem_bytes(ch: int, dils, t_tile: int, isz: int, wsz: int) -> int:
     return stream + out + wts + peak
 
 
-def plan_chain(ch: int, dils, isz: int, wsz: int,
-               t_cap: int = 8192) -> list:
-    """Greedy grouping of a dilation run into chains: longest prefix that
-    fits VMEM at a tile >= max(1024, halo) (so chained halo recompute stays
-    <= ~2x); singles take the largest tile >= 256 that fits, else None
-    (jax conv fallback — e.g. C=512 with dil 2187).
+# achieved (not peak) rates to plan against, measured on v5e through this
+# kernel: ~120 TFLOP/s bf16 MXU, ~600 GB/s effective HBM stream
+_PLAN_FLOPS = 120e12
+_PLAN_BW = 600e9
+_PLAN_LAUNCH_S = 2e-5  # per-pallas_call fixed cost
+
+
+def _group_cost(ch: int, sub, tt: int, isz: int) -> float:
+    """Roofline seconds-per-sample for one chained tile: chaining trades
+    HBM round trips between blocks for halo *recompute* (each chained block
+    computes over tile + 2E[k+1] extra samples), so the planner charges the
+    widened compute against the saved traffic."""
+    e = chain_extents(sub)
+    bytes_tile = (2 * tt + 2 * e[0]) * ch * isz
+    flops_tile = sum((tt + 2 * e[k + 1] + 16) * 12 * ch * ch
+                     for k in range(len(sub)))
+    return max(flops_tile / _PLAN_FLOPS, bytes_tile / _PLAN_BW) / tt
+
+
+def plan_chain(ch: int, dils, isz: int, wsz: int, t_cap: int = 8192,
+               t_total: int = 200_000) -> list:
+    """Partition a dilation run into chained kernel groups by dynamic
+    programming over a roofline cost model: small dilations chain (their
+    halo recompute is cheap and the saved inter-block HBM round trips
+    dominate), huge dilations run as singles (a single block has NO compute
+    amplification — its halo is only extra input reads). Groups that cannot
+    fit VMEM at any tile (e.g. C=512 with dil 2187) fall back to the jax
+    conv path, costed at ~4x the roofline so it is only picked when forced.
 
     Returns [(start, end, t_tile_or_None), ...] covering range(len(dils)).
     """
+    n = len(dils)
+    fallback_cps = 4.0 * max(12 * ch * ch / _PLAN_FLOPS,
+                             4 * ch * isz / _PLAN_BW)
+
+    def options(i, j):
+        """Best (tile, cost/sample) for group [i, j), or None if no fit."""
+        sub = dils[i:j]
+        # per-call fixed cost (launch + weight-bank DMA), amortized per
+        # sample at tile size tt
+        fixed = _PLAN_LAUNCH_S + len(sub) * 6 * ch * ch * wsz / _PLAN_BW
+        best = None
+        tt = t_cap
+        while tt >= 256:
+            if chain_vmem_bytes(ch, sub, tt, isz, wsz) <= VMEM_BUDGET:
+                c = _group_cost(ch, sub, tt, isz) + fixed / tt
+                if best is None or c < best[1]:
+                    best = (tt, c)
+            tt //= 2
+        return best
+
+    INF = float("inf")
+    best_cost = [INF] * (n + 1)
+    best_cut = [None] * (n + 1)
+    best_cost[n] = 0.0
+    for i in reversed(range(n)):
+        for j in range(i + 1, n + 1):
+            opt = options(i, j)
+            if opt is None:
+                if j == i + 1:  # single that can't fit: jax fallback
+                    c = fallback_cps + best_cost[j]
+                    if c < best_cost[i]:
+                        best_cost[i] = c
+                        best_cut[i] = (j, None)
+                continue
+            c = opt[1] + best_cost[j]
+            if c < best_cost[i]:
+                best_cost[i] = c
+                best_cut[i] = (j, opt[0])
     groups = []
     i = 0
-    n = len(dils)
     while i < n:
-        chosen = None
-        for j in range(n, i, -1):
-            sub = dils[i:j]
-            e0 = chain_extents(sub)[0]
-            floor = max(1024, e0) if j - i > 1 else 256
-            tt = t_cap
-            while tt >= floor:
-                if chain_vmem_bytes(ch, sub, tt, isz, wsz) <= VMEM_BUDGET:
-                    chosen = (j, tt)
-                    break
-                tt //= 2
-            if chosen:
-                break
-        if chosen is None:
-            groups.append((i, i + 1, None))
-            i += 1
-        else:
-            groups.append((i, chosen[0], chosen[1]))
-            i = chosen[0]
+        j, tt = best_cut[i]
+        groups.append((i, j, tt))
+        i = j
     return groups
 
 
 def _chain_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                   x_s, sem, *, t_tile: int, ext: tuple, dils: tuple,
                   t_total: int, slope: float, final_slope,
-                  acc_dtype, double_buffer: bool):
+                  acc_dtype, double_buffer: bool,
+                  fold_offset: int | None = None, fold_ch: int = 64):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     n_blk = pl.num_programs(1)
@@ -145,6 +189,19 @@ def _chain_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    def sig_mask(rows, row0, val):
+        """Zero `val` outside the true signal [0, t_total): conv 'same'
+        zero padding pads the conv INPUT, and chained blocks consume the
+        previous output as input. In fold mode (res_fold) the lane halves
+        carry two different time windows, so the global position differs
+        per lane half by fold_offset."""
+        pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        if fold_offset is None:
+            return jnp.where((pos >= 0) & (pos < t_total), val, 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, val.shape[-1]), 1)
+        pos = pos + jnp.where(lane >= fold_ch, fold_offset, 0)
+        return jnp.where((pos >= 0) & (pos < t_total), val, 0.0)
+
     for i, dil in enumerate(dils):
         ein, eout = ext[i], ext[i + 1]
         # lrelu'd input over this block's full reach, stored at matmul dtype
@@ -161,12 +218,7 @@ def _chain_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             d = jnp.dot(a[s0: s0 + wh], w1_ref[i, pl.ds(j * ch, ch), :],
                         preferred_element_type=jnp.float32, precision=prec)
             h = d if h is None else h + d
-        h = h + b1_ref[i]
-        # conv 'same' zero padding pads the conv INPUT: mask h to exactly 0
-        # outside the real signal before it feeds conv2
-        pos_h = (t_idx * t_tile - eout - 8
-                 + jax.lax.broadcasted_iota(jnp.int32, (wh, 1), 0))
-        h = jnp.where((pos_h >= 0) & (pos_h < t_total), h, 0.0)
+        h = sig_mask(wh, t_idx * t_tile - eout - 8, h + b1_ref[i])
         h = jnp.where(h > 0, h, slope * h).astype(acc_dtype)
 
         # conv2 (k3 dilation 1) + residual over [-eout, t_tile+eout)
@@ -178,11 +230,8 @@ def _chain_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             y = d if y is None else y + d
         y = y + b2_ref[i] + x_s[slot, pl.ds(e0 - eout, wy), :].astype(
             jnp.float32)
-        # the next block zero-pads ITS conv input too: y must be exactly 0
-        # outside [0, T)
-        pos_y = (t_idx * t_tile - eout
-                 + jax.lax.broadcasted_iota(jnp.int32, (wy, 1), 0))
-        y = jnp.where((pos_y >= 0) & (pos_y < t_total), y, 0.0)
+        # the next block zero-pads ITS conv input too
+        y = sig_mask(wy, t_idx * t_tile - eout, y)
 
         if i + 1 < len(dils):
             x_s[slot, pl.ds(e0 - eout, wy), :] = y.astype(x_s.dtype)
@@ -202,14 +251,22 @@ def _stack_w(ws, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dils", "slope", "final_slope", "t_tile", "matmul_dtype", "interpret"))
+    "dils", "slope", "final_slope", "t_tile", "matmul_dtype", "interpret",
+    "mask_t_total", "fold_offset", "fold_ch"))
 def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
               slope: float = 0.2, final_slope=None, t_tile: int = 4096,
-              matmul_dtype=jnp.float32, interpret: bool = False):
+              matmul_dtype=jnp.float32, interpret: bool = False,
+              mask_t_total: int | None = None,
+              fold_offset: int | None = None, fold_ch: int = 64):
     """Run len(dils) consecutive ResStack blocks in one kernel.
 
     x: [B, T, C] with C a multiple of 128 (callers lane-pad smaller C);
     w1s/w2s: [n, 3, C, C] (block, tap, in, out); b1s/b2s: [n, C].
+
+    fold_offset/mask_t_total: time-folded mode (res_fold) — lanes >=
+    fold_ch carry a second time window offset by fold_offset, and the
+    zero-'same' masking tests positions against the GLOBAL signal length
+    mask_t_total rather than the folded array length.
     """
     bsz, t_total, ch = x.shape
     assert ch % LANE == 0, "res_chain needs lane-padded channels"
@@ -222,8 +279,10 @@ def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
 
     kernel = functools.partial(
         _chain_kernel, t_tile=t_tile, ext=ext, dils=tuple(dils),
-        t_total=t_total, slope=slope, final_slope=final_slope,
-        acc_dtype=matmul_dtype, double_buffer=not interpret)
+        t_total=t_total if mask_t_total is None else mask_t_total,
+        slope=slope, final_slope=final_slope,
+        acc_dtype=matmul_dtype, double_buffer=not interpret,
+        fold_offset=fold_offset, fold_ch=fold_ch)
     n = len(dils)
     out = pl.pallas_call(
         kernel,
@@ -275,6 +334,53 @@ def res_block(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
                      interpret=interpret)
 
 
+def _bdiag(w, ci: int, co: int):
+    """[..., ci, co] -> [..., 2ci, 2co] block-diagonal (two independent
+    channel groups through one dense MXU pass)."""
+    z = jnp.zeros(w.shape[:-2] + (2 * ci, 2 * co), w.dtype)
+    return z.at[..., :ci, :co].set(w).at[..., ci:, co:].set(w)
+
+
+def _res_fold(params: list, x: jnp.ndarray, dils: tuple, slope: float,
+              final_slope, t_tile: int, matmul_dtype, interpret: bool,
+              reach: int) -> jnp.ndarray:
+    """Time-folded stack for C = LANE/2 (the vocoder's final stage, C=64 at
+    T up to 1.3 M): instead of zero-padding channels to a full lane (which
+    wastes half the MXU output columns AND half the rows), the signal is
+    split into two halves laid side by side in the lane dimension —
+    lanes 0:64 carry x[0 : T/2 + reach], lanes 64:128 carry
+    x[T/2 - reach : T] — with block-diagonal weights, halving the row count
+    at full lane width. Each half keeps a `reach`-sample margin covering the
+    receptive field of the WHOLE stack (sum of every block's conv reach), so
+    seam garbage never creeps into the kept samples; the kernel's zero-
+    'same' masking tests GLOBAL positions per lane half (fold_offset)."""
+    b, t, ch = x.shape
+    half = t // 2
+    off = half - reach
+    la = jnp.pad(x[:, : half + reach, :], ((0, 0), (0, reach), (0, 0)))
+    lb = jnp.pad(x[:, off:, :], ((0, 0), (0, reach), (0, 0)))
+    xf = jnp.concatenate([la, lb], axis=-1)
+
+    isz = jnp.dtype(x.dtype).itemsize
+    wsz = jnp.dtype(matmul_dtype).itemsize
+    groups = plan_chain(2 * ch, dils, isz, wsz, t_cap=t_tile,
+                        t_total=xf.shape[1])
+    for gi, (i0, i1, tt) in enumerate(groups):
+        sub = params[i0:i1]
+        last = gi == len(groups) - 1
+        w1s = jnp.stack([_bdiag(p["c1"]["w"], ch, ch) for p in sub])
+        w2s = jnp.stack([_bdiag(p["c2"]["w"], ch, ch) for p in sub])
+        b1s = jnp.stack([jnp.concatenate([p["c1"]["b"]] * 2) for p in sub])
+        b2s = jnp.stack([jnp.concatenate([p["c2"]["b"]] * 2) for p in sub])
+        xf = res_chain(xf, w1s, b1s, w2s, b2s, dils=dils[i0:i1], slope=slope,
+                       final_slope=final_slope if last else None,
+                       t_tile=tt, matmul_dtype=matmul_dtype,
+                       interpret=interpret, mask_t_total=t,
+                       fold_offset=off, fold_ch=ch)
+    return jnp.concatenate(
+        [xf[:, :half, :ch], xf[:, reach: reach + half, ch:]], axis=1)
+
+
 def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
               t_tile: int = 8192, matmul_dtype=jnp.float32,
               final_slope=None, interpret: bool = False) -> jnp.ndarray:
@@ -284,12 +390,24 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
     production config). final_slope, when set, folds the stage-final
     LeakyReLU into the last chain's epilogue.
 
-    Channels < 128 (the vocoder's final stage, C=64, also the longest
-    signal) are lane-padded to 128 ONCE for the whole stack — zero-padded
+    C = 64 at long T takes the time-folded path (_res_fold); other channels
+    < 128 are lane-padded to 128 ONCE for the whole stack — zero-padded
     channels stay exactly zero through leaky-relu/conv/residual."""
     assert kernel == 3, "fused kernel supports k=3 (production config)"
     from voicefixer_tpu.ops.conv import conv1d, leaky_relu
     ch_orig = x.shape[-1]
+    dils_all = tuple(3 ** (i % 10) for i in range(len(params)))
+    if ch_orig * 2 == LANE and x.shape[1] % 2 == 0:
+        reach = _ceil8(sum(d + 1 for d in dils_all)) + 8
+        if x.shape[1] >= 8 * reach:
+            isz = jnp.dtype(x.dtype).itemsize
+            wsz = jnp.dtype(matmul_dtype).itemsize
+            folded_groups = plan_chain(
+                LANE, dils_all, isz, wsz, t_cap=t_tile,
+                t_total=x.shape[1] // 2 + 2 * reach)
+            if all(tt is not None for _, _, tt in folded_groups):
+                return _res_fold(params, x, dils_all, slope, final_slope,
+                                 t_tile, matmul_dtype, interpret, reach)
     pc = (-ch_orig) % LANE
     if pc:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pc)))
@@ -297,7 +415,8 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
     isz = jnp.dtype(x.dtype).itemsize
     wsz = jnp.dtype(matmul_dtype).itemsize
     dils = tuple(3 ** (i % 10) for i in range(len(params)))
-    groups = plan_chain(ch, dils, isz, wsz, t_cap=t_tile)
+    groups = plan_chain(ch, dils, isz, wsz, t_cap=t_tile,
+                        t_total=x.shape[1])
 
     def bank(sub, key1, key2):
         ws = jnp.stack([jnp.pad(p[key1][key2], ((0, 0), (0, pc), (0, pc)))

@@ -81,9 +81,12 @@ def stft_mel(wav: jnp.ndarray, fb: jnp.ndarray, cfg: STFTConfig,
         frames = jnp.pad(frames, ((0, 0), (0, t_pad - t_total), (0, 0)))
 
     f_pad = pl.cdiv(n_freqs, F_BLK) * F_BLK
-    w_re, w_im = vstft.dft_matrices(n_fft, cfg.win_length)
-    w_re = np.pad(w_re, ((0, 0), (0, f_pad - n_freqs)))
-    w_im = np.pad(w_im, ((0, 0), (0, f_pad - n_freqs)))
+    # in-graph DFT matrices: baking them as fp32 constants (~17 MB) blows
+    # the remote-compile upload limit and the persistent cache (ops/stft.py
+    # dft_matrices_ingraph docstring)
+    w_re, w_im = vstft.dft_matrices_ingraph(n_fft, cfg.win_length)
+    w_re = jnp.pad(w_re, ((0, 0), (0, f_pad - n_freqs)))
+    w_im = jnp.pad(w_im, ((0, 0), (0, f_pad - n_freqs)))
     fb_p = jnp.concatenate(
         [jnp.asarray(fb, jnp.float32),
          jnp.zeros((f_pad - n_freqs, n_mels), jnp.float32)], axis=0)
@@ -107,5 +110,5 @@ def stft_mel(wav: jnp.ndarray, fb: jnp.ndarray, cfg: STFTConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, n_mels), jnp.float32),
         interpret=interpret,
-    )(frames, jnp.asarray(w_re), jnp.asarray(w_im), fb_p)
+    )(frames, w_re, w_im, fb_p)
     return out[:, :t_total, :]

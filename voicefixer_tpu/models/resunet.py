@@ -69,7 +69,16 @@ def apply(params: dict, x: jnp.ndarray, cfg: ResUNetConfig,
     a multiple of 64 with zeros, drop the last freq bin, run the U-Net,
     zero-pad freq back and crop T.
     """
+    from voicefixer_tpu.ops.precision import activation_dtype
     slope = cfg.leaky_slope
+    in_dtype = x.dtype
+    adt = activation_dtype()
+    if not training and adt != x.dtype:
+        # production precision: bf16 activations/weights halve the HBM
+        # traffic of the conv stack; matmuls accumulate fp32 (MXU native).
+        # Training and parity mode keep fp32 end to end.
+        params = jax.tree.map(lambda p: p.astype(adt), params)
+        x = x.astype(adt)
     origin_t = x.shape[1]
     pad_len = int(np.ceil(origin_t / cfg.downsample_ratio)
                   ) * cfg.downsample_ratio - origin_t
@@ -93,7 +102,7 @@ def apply(params: dict, x: jnp.ndarray, cfg: ResUNetConfig,
     h = _conv_block_res(params["after1"], h, slope, training)
     h = conv2d(h, params["after2"]["w"], params["after2"]["b"])
     h = jnp.pad(h, [(0, 0), (0, 0), (0, 1), (0, 0)])  # restore freq bin
-    return h[:, :origin_t, :, :]
+    return h[:, :origin_t, :, :].astype(in_dtype)
 
 
 def _channel_plan(cfg: ResUNetConfig):

@@ -60,16 +60,38 @@ def gru_single_direction(x: jnp.ndarray, params: dict,
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 
+def _proj(x, p):
+    return jnp.einsum("bti,gi->btg", x, p["w_ih"],
+                      precision=get_precision()) + p["b_ih"]
+
+
 def gru(x: jnp.ndarray, params: dict, num_layers: int,
         bidirectional: bool) -> jnp.ndarray:
     """Multi-layer (bi)GRU, torch nn.GRU(batch_first=True) parity.
 
     params: {"l{i}": fwd_params, "l{i}_reverse": bwd_params, ...}.
     Returns [B, T, H * num_directions] from the last layer.
+
+    On TPU, bidirectional layers run BOTH directions in one fused kernel
+    pass (kernels.gru.gru_seq_bidir) — the recurrence is the pipeline's one
+    serial op, and interleaving the two directions' steps halves its
+    latency-bound wall time.
     """
+    from voicefixer_tpu import kernels
     out = x
     for layer in range(num_layers):
-        fwd = gru_single_direction(out, params[f"l{layer}"], reverse=False)
+        pf = params[f"l{layer}"]
+        h_dim = pf["w_hh"].shape[1]
+        if (bidirectional and kernels.use("gru") and h_dim % 128 == 0):
+            from voicefixer_tpu.kernels.gru import gru_seq_bidir
+            pb = params[f"l{layer}_reverse"]
+            fwd, bwd = gru_seq_bidir(
+                _proj(out, pf), _proj(out, pb),
+                pf["w_hh"].T, pb["w_hh"].T, pf["b_hh"], pb["b_hh"],
+                matmul_dtype=kernels.matmul_dtype())
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+            continue
+        fwd = gru_single_direction(out, pf, reverse=False)
         if bidirectional:
             bwd = gru_single_direction(out, params[f"l{layer}_reverse"],
                                        reverse=True)

@@ -54,6 +54,32 @@ def dft_matrices(n_fft: int, win_length: int):
     return w_re, w_im
 
 
+def dft_matrices_ingraph(n_fft: int, win_length: int, dtype=jnp.float32):
+    """In-graph (traceable) windowed DFT matrices — numerically equal to
+    dft_matrices to ~1e-7 but WITHOUT baking 2 x [n_fft, n_freqs] fp32
+    constants (~17 MB at n_fft=2048) into the compiled program: the
+    development tunnel's remote-compile endpoint rejects oversized program
+    uploads (HTTP 413), and the constants also bloat the persistent cache.
+
+    Accuracy: the angle 2*pi*n*k/N is reduced EXACTLY first — n*k mod N is
+    computed in int32 (products < 2^24, exact), so cos/sin see arguments in
+    [0, 2*pi) and fp32 argument-reduction error never scales with n*k.
+    """
+    n_freqs = n_fft // 2 + 1
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_freqs), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_freqs), 1)
+    m = (n * k) % n_fft
+    ang = m.astype(jnp.float32) * np.float32(2.0 * np.pi / n_fft)
+    w = hann_window(win_length)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        w = np.pad(w, (pad, n_fft - win_length - pad))
+    w = jnp.asarray(w[:, None], dtype=jnp.float32)
+    w_re = (jnp.cos(ang) * w).astype(dtype)
+    w_im = (-jnp.sin(ang) * w).astype(dtype)
+    return w_re, w_im
+
+
 def num_frames(n_samples: int, cfg: STFTConfig) -> int:
     if cfg.center:
         padded = n_samples + 2 * (cfg.n_fft // 2)
@@ -93,11 +119,10 @@ def frame_signal(x: jnp.ndarray, cfg: STFTConfig) -> jnp.ndarray:
 def stft_real_imag(x: jnp.ndarray, cfg: STFTConfig):
     """[..., n_samples] -> (real, imag) each [..., T, n_freqs]."""
     frames = frame_signal(x, cfg)
-    w_re, w_im = dft_matrices(cfg.n_fft, cfg.win_length)
-    real = jnp.matmul(frames, jnp.asarray(w_re, dtype=frames.dtype),
-                      precision=get_precision())
-    imag = jnp.matmul(frames, jnp.asarray(w_im, dtype=frames.dtype),
-                      precision=get_precision())
+    w_re, w_im = dft_matrices_ingraph(cfg.n_fft, cfg.win_length,
+                                      dtype=frames.dtype)
+    real = jnp.matmul(frames, w_re, precision=get_precision())
+    imag = jnp.matmul(frames, w_im, precision=get_precision())
     return real, imag
 
 
@@ -158,6 +183,25 @@ def idft_matrices(n_fft: int, win_length: int):
     return m_re, m_im
 
 
+def idft_matrices_ingraph(n_fft: int, win_length: int, dtype=jnp.float32):
+    """In-graph version of idft_matrices (same rationale and exact-mod
+    angle reduction as dft_matrices_ingraph)."""
+    n_freqs = n_fft // 2 + 1
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_freqs, n_fft), 0)
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_freqs, n_fft), 1)
+    ang = ((k * n) % n_fft).astype(jnp.float32) * np.float32(
+        2.0 * np.pi / n_fft)
+    c = jnp.where((k == 0) | (k == n_freqs - 1), 1.0, 2.0)
+    w = hann_window(win_length, dtype=np.float64)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        w = np.pad(w, (pad, n_fft - win_length - pad))
+    w = jnp.asarray((w / n_fft)[None, :], dtype=jnp.float32)
+    m_re = (c * jnp.cos(ang) * w).astype(dtype)
+    m_im = (-c * jnp.sin(ang) * w).astype(dtype)
+    return m_re, m_im
+
+
 def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
           length: int | None = None) -> jnp.ndarray:
     """Inverse STFT via windowed overlap-add, librosa semantics (center=True).
@@ -165,11 +209,10 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
     real/imag: [..., T, n_freqs] in the np.fft sign convention used by
     stft_real_imag. Returns [..., n_samples].
     """
-    m_re, m_im = idft_matrices(cfg.n_fft, cfg.win_length)
-    frames = (jnp.matmul(real, jnp.asarray(m_re, dtype=real.dtype),
-                         precision=get_precision())
-              + jnp.matmul(imag, jnp.asarray(m_im, dtype=imag.dtype),
-                           precision=get_precision()))
+    m_re, m_im = idft_matrices_ingraph(cfg.n_fft, cfg.win_length,
+                                       dtype=real.dtype)
+    frames = (jnp.matmul(real, m_re, precision=get_precision())
+              + jnp.matmul(imag, m_im, precision=get_precision()))
     t = frames.shape[-2]
     hop, n_fft = cfg.hop_length, cfg.n_fft
     total = n_fft + hop * (t - 1)
@@ -189,13 +232,32 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, cfg: STFTConfig,
                           + [(k, total_rows - t - k), (0, 0)])
         y = contrib if y is None else y + contrib
     y = y.reshape(batch_shape + (total_rows * hop,))[..., :total]
-    # window-squared normalization
+    # Window-squared normalization, built IN-GRAPH (a [total] fp32 constant
+    # is ~5 MB at production lengths — see dft_matrices_ingraph). The OLA of
+    # shifted w^2 copies has closed form via a cumulative sum over the
+    # hop-chunks of w^2: interior rows get the full sum, the first/last
+    # rows_per_frame-1 rows get partial prefixes/suffixes.
     w = hann_window(cfg.win_length, dtype=np.float64)
-    wsq = np.zeros(total)
-    for ti in range(t):
-        wsq[ti * cfg.hop_length: ti * cfg.hop_length + cfg.n_fft] += w * w
-    wsq = np.where(wsq > 1e-10, wsq, 1.0).astype(np.float32)
-    y = y / jnp.asarray(wsq, dtype=frames.dtype)
+    if cfg.win_length < n_fft:
+        p = (n_fft - cfg.win_length) // 2
+        w = np.pad(w, (p, n_fft - cfg.win_length - p))
+    if t >= rows_per_frame:
+        wr = jnp.asarray(np.pad(w * w, (0, width - n_fft)).reshape(
+            rows_per_frame, hop), dtype=jnp.float32)
+        csum = jnp.cumsum(wr, axis=0)          # prefix sums of w^2 chunks
+        full = csum[-1:]
+        wsq = jnp.concatenate([
+            csum[: rows_per_frame - 1],
+            jnp.tile(full, (t - rows_per_frame + 1, 1)),
+            full - csum[: rows_per_frame - 1],
+        ]).reshape(total_rows * hop)[:total]
+    else:  # tiny signals: the host loop constant is small
+        wsq_np = np.zeros(total)
+        for ti in range(t):
+            wsq_np[ti * hop: ti * hop + n_fft] += w * w
+        wsq = jnp.asarray(wsq_np, dtype=jnp.float32)
+    wsq = jnp.where(wsq > 1e-10, wsq, 1.0)
+    y = y / wsq.astype(frames.dtype)
     if cfg.center:
         y = y[..., cfg.n_fft // 2: total - cfg.n_fft // 2]
     if length is not None:
