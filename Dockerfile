@@ -31,7 +31,10 @@ USER $USERNAME
 ENV PATH="${PATH}:${WORKDIR_PATH}/.local/bin"
 
 RUN pip install --no-cache-dir .
-# bake the converted weights into the image (reference Dockerfile:30)
-RUN voicefixer-tpu --weight_prepare
+# bake the converted weights into the image (reference Dockerfile:30);
+# skip the compile-cache prewarm — image builds usually run on CPU-only
+# build hosts, and a CPU-backend cache is useless on the TPU VM (the first
+# on-device run warms the persistent cache instead)
+RUN VF_SKIP_PREWARM=1 voicefixer-tpu --weight_prepare
 
 ENTRYPOINT ["voicefixer-tpu"]

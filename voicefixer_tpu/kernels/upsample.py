@@ -29,47 +29,77 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _up_kernel(x_hbm, w_ref, b_ref, out_ref, x_s, sem, *, t_tile: int,
-               scale: int, pad: int, co_blk: int, acc_dtype):
-    t_idx = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.program_id(0), pl.ds(t_idx * t_tile, t_tile + 16), :],
-        x_s, sem)
-    copy.start()
-    copy.wait()
+               scale: int, pad: int, co_blk: int, acc_dtype,
+               double_buffer: bool):
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(2)  # innermost: time tiles
+    n_blk = pl.num_programs(2)
+
+    def copy_in(b, t, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(t * t_tile, t_tile + 16), :],
+            x_s.at[slot], sem.at[slot])
+
+    if double_buffer:
+        # double-buffered input stream: prefetch tile t+1 while computing t
+        # (restarts per (batch, co-block) sweep — co blocks exist only on
+        # the tiny stage-0 shape)
+        slot = jax.lax.rem(t_idx, 2)
+
+        @pl.when(t_idx == 0)
+        def _():
+            copy_in(b_idx, 0, 0).start()
+
+        @pl.when(t_idx + 1 < n_blk)
+        def _():
+            copy_in(b_idx, t_idx + 1, 1 - slot).start()
+
+        copy_in(b_idx, t_idx, slot).wait()
+    else:
+        # interpret mode: pl.when branches cannot hold DMA primitives on
+        # the CPU interpreter — use a blocking copy.
+        slot = 0
+        copy_in(b_idx, t_idx, 0).start()
+        copy_in(b_idx, t_idx, 0).wait()
 
     # fp32 for the VPU transcendental; activation dtype only governs
     # HBM storage / DMA traffic.
-    x = x_s[:].astype(jnp.float32)     # [TT+16, Cin], x[l] = t0 - 8 + l
-    a = x + jnp.sin(x)
+    x = x_s[slot].astype(jnp.float32)  # [TT+16, Cin], x[l] = t0 - 8 + l
+    a = (x + jnp.sin(x)).astype(acc_dtype)
     co = co_blk
     # fp32 operands must request HIGHEST or the MXU silently truncates to
     # one bf16 pass (jnp.dot's default precision).
     prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    z2 = jnp.dot(a.astype(acc_dtype), w_ref[0], precision=prec,
-                 preferred_element_type=jnp.float32)  # [TT+16, 2s*Cout_blk]
-    lo = z2[:, :scale * co]
-    hi = z2[:, scale * co:]
-    # s*Cout chunk for polyphase group q = t0 + m, m in [0, TT+8):
-    # z[m] = a[q] @ W_lo + a[q-1] @ W_hi = lo[m+8] + hi[m+7]. The 8-sample
-    # margins keep every sublane slice shape a multiple of Mosaic tiling;
-    # only m in [0, TT+1) is consumed after the p-shift below.
-    z = lo[8:t_tile + 16] + hi[7:t_tile + 15]        # [TT+8, s*Cout_blk]
-    z = z.reshape((t_tile + 8) * scale, co)
-    out_ref[0, :, :] = (z[pad:pad + t_tile * scale] +
-                        b_ref[0]).astype(out_ref.dtype)
+    # Polyphase group q = t0 + m needs a[q] (lo taps) and a[q-1] (hi taps):
+    # two matmuls on shifted views of the NARROW input (Cin lanes) — far
+    # less VPU relayout than shifting/reshaping the s*Cout-wide product
+    # (round-2 measurement: 7.9 ms for stage 3 vs ~1 ms of compute+traffic).
+    # Two dots rather than one lane-concat K=2Cin dot: Mosaic's concatenate
+    # cannot merge operands with different sublane offsets.
+    cin_dim = a.shape[1]
+    z = (jnp.dot(a[8: t_tile + 8], w_ref[0, :cin_dim], precision=prec,
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(a[7: t_tile + 7], w_ref[0, cin_dim:], precision=prec,
+                   preferred_element_type=jnp.float32))  # [TT, s*Cout_blk]
+    # z's row-major [m, (rho, co)] bytes ARE the interleaved time series
+    # [(m*s + rho), co]: the kernel writes it untouched and the caller's
+    # reshape is a free metadata change — no in-VMEM interleave at all.
+    out_ref[0, 0, :, :] = (z + b_ref[0]).astype(out_ref.dtype)
 
 
 def _pack_weights(w: jnp.ndarray, co_blk: int):
-    """[2s, Cin, Cout] torch tap order -> [n_co, Cin, 2s*co_blk] where the
-    column layout per block is [tap0 | tap1 | ... | tap_{2s-1}] and the lo
-    half (taps 0..s-1) / hi half (taps s..2s-1) are contiguous so
-    z.reshape interleaves polyphase branches correctly."""
+    """[2s, Cin, Cout] torch tap order -> [n_co, 2*Cin, s*co_blk]: rows
+    0:Cin hold the lo taps (0..s-1, multiplying a[q]), rows Cin:2Cin the hi
+    taps (s..2s-1, multiplying a[q-1]); columns are [phase0 | ... |
+    phase_{s-1}] per co block, matching the kernel's K=2Cin matmul and its
+    per-phase lane slices."""
     k, cin, cout = w.shape
+    s = k // 2
     n_co = cout // co_blk
-    # [2s, Cin, n_co, co_blk] -> [n_co, Cin, 2s, co_blk]
-    wb = w.reshape(k, cin, n_co, co_blk).transpose(2, 1, 0, 3)
-    return wb.reshape(n_co, cin, k * co_blk)
+    # [2s, Cin, n_co, co_blk] -> [n_co, 2(lo/hi), Cin, s, co_blk]
+    wb = w.reshape(2, s, cin, n_co, co_blk).transpose(3, 0, 2, 1, 4)
+    return wb.reshape(n_co, 2 * cin, s * co_blk)
 
 
 VMEM_BUDGET = 12 * 1024 * 1024
@@ -85,11 +115,11 @@ def plan(cin: int, cout: int, scale: int, t_tile: int):
     t_tile = max(128, t_tile)
     while True:
         length = t_tile + 16
-        need = 4 * (2 * length * cin
-                    + length * 2 * scale * co_blk           # z2
-                    + (t_tile + 8) * scale * co_blk         # z
+        need = 4 * (3 * length * cin                        # 2 x_s + sin val
+                    + t_tile * 2 * cin                      # a2
+                    + t_tile * scale * co_blk               # z
                     + 3 * t_tile * scale * co_blk           # out
-                    + 2 * cin * 2 * scale * co_blk)         # weights
+                    + 2 * 2 * cin * scale * co_blk)         # weights
         if need <= VMEM_BUDGET:
             return t_tile, co_blk
         if co_blk > 128 and co_blk % 2 == 0:
@@ -131,7 +161,9 @@ def upsample(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, scale: int,
 
     t_tile = min(t_tile, max(8, t_total))
     t_tile = -(-t_tile // 8) * 8  # Mosaic sublane tiling
-    n_blk = pl.cdiv(t_total, t_tile)
+    # +1: the p-shift makes the last out_len samples reach polyphase group
+    # q = t_total (a zero-padded x row), so the grid must cover it
+    n_blk = pl.cdiv(t_total + 1, t_tile)
     t_pad = n_blk * t_tile
     # 8-sample halo each side (only 1 is semantically needed; the rest is
     # Mosaic tiling margin). Padded zeros stay zero through x+sin(x),
@@ -141,28 +173,39 @@ def upsample(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, scale: int,
     co_blk = min(co_blk, cout)
     n_co = cout // co_blk
     wk = _pack_weights(w.astype(matmul_dtype), co_blk)
-    bk = b.reshape(n_co, 1, co_blk)
+    # bias per output column (rho-major, co within): tile co block s times
+    bk = jnp.tile(b.reshape(n_co, 1, co_blk), (1, 1, scale))
 
     kernel = functools.partial(_up_kernel, t_tile=t_tile, scale=scale,
-                               pad=pad, co_blk=co_blk, acc_dtype=matmul_dtype)
+                               pad=pad, co_blk=co_blk, acc_dtype=matmul_dtype,
+                               double_buffer=not interpret)
     out = pl.pallas_call(
         kernel,
-        grid=(bsz, n_blk, n_co),
+        grid=(bsz, n_co, n_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, cin, k * co_blk), lambda i, j, c: (c, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2 * cin, scale * co_blk),
+                         lambda i, c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, co_blk), lambda i, j, c: (c, 0, 0),
+            pl.BlockSpec((1, 1, scale * co_blk), lambda i, c, j: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_tile * scale, co_blk),
-                               lambda i, j, c: (i, j, c),
+        out_specs=pl.BlockSpec((1, 1, t_tile, scale * co_blk),
+                               lambda i, c, j: (i, c, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, t_pad * scale, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_co, t_pad, scale * co_blk),
+                                       x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((t_tile + 16, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, t_tile + 16, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_p, wk, bk)
-    return out[:, :t_total * scale, :]
+    # [B, n_co, t_pad, s*co_blk] rows are already the interleaved series per
+    # co block: the reshape is free (row-major identical); the co-block
+    # interleave transpose only exists when n_co > 1 (stage 0, tiny T).
+    out = out.reshape(bsz, n_co, t_pad * scale, co_blk)
+    out = out[:, 0] if n_co == 1 else jnp.concatenate(
+        [out[:, c] for c in range(n_co)], axis=-1)
+    out_len = (t_total - 1) * scale - 2 * pad + k + (scale % 2)
+    return out[:, pad: pad + out_len, :]
