@@ -149,6 +149,44 @@ def test_res_chain_matches_blocks():
                                rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.parametrize("t,f,ci,co", [(40, 15, 32, 32), (48, 31, 16, 32),
+                                       (40, 7, 64, 64)])
+def test_conv_block_kernel_matches_model(t, f, ci, co):
+    """Fused ConvBlockRes kernel == the jax conv path, including the
+    shortcut conv when Cin != Cout and the T/F 'same' zero edges."""
+    from voicefixer_tpu.kernels import convblock
+    from voicefixer_tpu.models.resunet import _conv_block_res
+    from voicefixer_tpu.ops.conv import fold_bn_eval
+
+    keys = jax.random.split(jax.random.PRNGKey(13), 8)
+
+    def bn(c, k1, k2):
+        return {"gamma": 1.0 + 0.1 * _rand(keys[k1], (c,)),
+                "beta": 0.1 * _rand(keys[k2], (c,)),
+                "mean": 0.05 * _rand(keys[k1], (c,)),
+                "var": jnp.abs(1.0 + 0.1 * _rand(keys[k2], (c,)))}
+
+    params = {"bn1": bn(ci, 0, 1),
+              "conv1": {"w": _rand(keys[2], (3, 3, ci, co), 0.1)},
+              "bn2": bn(co, 3, 4),
+              "conv2": {"w": _rand(keys[5], (3, 3, co, co), 0.1)}}
+    if ci != co:
+        params["shortcut"] = {"w": _rand(keys[6], (1, 1, ci, co), 0.1),
+                              "b": 0.1 * _rand(keys[7], (co,))}
+    params = fold_bn_eval(params)
+    x = _rand(keys[7], (1, t, f, ci), 0.5)
+
+    import os
+    os.environ["VF_TPU_NO_PALLAS"] = "1"
+    try:
+        ref = _conv_block_res(params, x, 0.01, training=False)
+    finally:
+        del os.environ["VF_TPU_NO_PALLAS"]
+    got = convblock.conv_block_res(x, params, 0.01, tm=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_res_fold_matches_plain():
     """Time-folded C=64 path == plain conv reference, including both seam
     margins and the true signal edges (depth-4 stack keeps the receptive

@@ -26,7 +26,17 @@ from voicefixer_tpu.ops.conv import (avg_pool2d, batch_norm, conv2d,
 
 def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
                     training: bool) -> jnp.ndarray:
-    """ConvBlockRes (modules.py:7-76): two bn-lrelu-conv3x3 + residual."""
+    """ConvBlockRes (modules.py:7-76): two bn-lrelu-conv3x3 + residual.
+
+    Eval mode on TPU dispatches to the fused Pallas kernel
+    (kernels/convblock.py) for the narrow-channel levels where XLA's
+    native conv starves the MXU."""
+    from voicefixer_tpu import kernels
+    if kernels.use("convblock"):
+        from voicefixer_tpu.kernels import convblock
+        if convblock.eligible(params, x, training):
+            return convblock.conv_block_res(
+                x, params, slope, matmul_dtype=kernels.matmul_dtype())
     origin = x
     h = batch_norm(x, params["bn1"], training)
     h = conv2d(leaky_relu(h, slope), params["conv1"]["w"], padding=(1, 1))
