@@ -12,9 +12,16 @@ chip, and `block_until_ready` does not reliably force execution through it.
 Device throughput is therefore measured with K restores CHAINED inside one
 jitted program (each iteration's input depends on the previous output, so
 nothing can be elided), timed to a final value fetch, and differenced
-between K=4 and K=8 to cancel the fixed dispatch cost. The JSON line also
-reports `dispatch_ms` (the per-call host overhead this cancels) so the
-tunnel cost stays visible.
+between two K values (preferred 8 vs 4) to cancel the fixed dispatch cost.
+The JSON line also reports `dispatch_ms` (the per-call host overhead this
+cancels) so the tunnel cost stays visible.
+
+Resilience: the tunnel's remote-compile endpoint fails transiently
+("response body closed", connection resets). Round 2's official artifact
+was lost to exactly one such error, so every compile/run here is wrapped in
+retry-with-backoff, the K-pair degrades (8,4) -> (4,2) -> single-program
+estimate, and the JSON line is ALWAYS emitted (exit 0) with whatever was
+measured plus an `errors` field listing what was retried or skipped.
 
 The reference publishes no numbers (SURVEY.md 6); its per-file wall-clock
 print (/root/reference/voicefixer/__main__.py:23-27) is the closest artifact.
@@ -31,8 +38,130 @@ import time
 
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 
+# Transient-failure policy for every device interaction (compile + run).
+RETRIES = int(os.environ.get("BENCH_RETRIES", "4"))
+BACKOFF_S = float(os.environ.get("BENCH_BACKOFF_S", "3"))
+
+
+def call_with_retries(label, fn, errors, retries=None, backoff=None,
+                      sleep=time.sleep):
+    """Run fn(); on any exception retry with exponential backoff.
+
+    Returns fn()'s value, or None after the last attempt fails. Every
+    failure is appended to `errors` (kept short) so the emitted JSON
+    records what went wrong even when a retry eventually succeeds.
+    """
+    retries = RETRIES if retries is None else retries
+    delay = BACKOFF_S if backoff is None else backoff
+    for attempt in range(1, retries + 1):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — tunnel errors are untyped
+            msg = f"{label}[try {attempt}/{retries}]: " \
+                  f"{type(e).__name__}: {str(e)[:160]}"
+            errors.append(msg)
+            print(f"bench: {msg}", file=sys.stderr)
+            if attempt == retries:
+                return None
+            sleep(delay)
+            delay *= 2
+    return None
+
+
+def measure(make_prog, run, errors, k_pairs=((4, 8), (2, 4)), best_of=3):
+    """Device seconds per unit of work, by K-differencing with fallbacks.
+
+    make_prog(k) builds (but does not compile) the K-chained program;
+    run(prog, jitter) compiles on first use, executes, fetches a value, and
+    returns wall seconds. Tries each (lo, hi) pair in order; if no pair
+    survives compilation/warmup, falls back to a single-program estimate
+    (device+dispatch)/K from whichever K still works — an upper bound on
+    device time, labeled in the returned method string.
+
+    Returns (device_s, dispatch_ms, method, compile_s) — device_s None if
+    nothing at all ran.
+    """
+    compiled = {}   # k -> prog, warmed and ready to time
+    compile_s = None
+
+    def ensure(k):
+        """Compile+warm the K-chained program once, with retries."""
+        if k in compiled:
+            return compiled[k]
+        prog = make_prog(k)
+        t0 = time.time()
+        ok = call_with_retries(
+            f"compile+warm K={k}", lambda: run(prog, 0), errors)
+        if ok is None:
+            return None
+        nonlocal compile_s
+        if compile_s is None:
+            compile_s = time.time() - t0
+        compiled[k] = prog
+        return prog
+
+    def timed(k, jitter):
+        prog = compiled.get(k)
+        if prog is None:
+            return None
+        return call_with_retries(
+            f"run K={k}", lambda: run(prog, jitter), errors)
+
+    for lo, hi in k_pairs:
+        # warm the smaller program first: it populates the persistent
+        # compile cache with the shared single-restore subcomputation, so
+        # the big program's remote compile is cheaper and likelier to
+        # survive the tunnel.
+        if ensure(lo) is None or ensure(hi) is None:
+            continue
+        t_lo = [t for t in (timed(lo, 1 + 1e-4 * r) for r in range(best_of))
+                if t is not None]
+        t_hi = [t for t in (timed(hi, 1 + 1e-4 * r) for r in range(best_of))
+                if t is not None]
+        if not t_lo or not t_hi:
+            continue
+        device_s = max(min(t_hi) - min(t_lo), 1e-9) / (hi - lo)
+        dispatch_ms = max(min(t_lo) - lo * device_s, 0.0) * 1e3
+        return device_s, dispatch_ms, f"K-diff({lo},{hi})", compile_s
+
+    # Last resort: no pair compiled. Use any single chained program that
+    # did; its time includes one dispatch so this overestimates device time
+    # (underestimates throughput) — safe direction for a headline claim.
+    for k in sorted(compiled, reverse=True):
+        ts = [t for t in (timed(k, 1 + 1e-4 * r) for r in range(best_of))
+              if t is not None]
+        if ts:
+            errors.append(f"fallback: single-program estimate at K={k} "
+                          "(includes dispatch; underestimates throughput)")
+            return min(ts) / k, None, f"single(K={k})", compile_s
+    return None, None, "none", compile_s
+
 
 def main():
+    errors: list[str] = []
+    result = {
+        "metric": "mode0_restore_throughput",
+        "value": None,
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": None,
+    }
+
+    try:
+        run_bench(result, errors)
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        errors.append(f"fatal: {type(e).__name__}: {str(e)[:200]}")
+
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    return 0
+
+
+def run_bench(result, errors):
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +189,7 @@ def main():
     wav = jax.random.normal(jax.random.PRNGKey(3), (n,),
                             dtype=jnp.float32) * 0.1
 
-    def chained(k):
+    def make_prog(k):
         @jax.jit
         def prog(p, vp, w):
             def step(i, w):
@@ -69,47 +198,47 @@ def main():
             return jax.lax.fori_loop(0, k, step, w)
         return prog
 
-    def run(prog, w):
+    def run(prog, jitter):
+        w = wav if jitter == 0 else wav * jitter
         t0 = time.perf_counter()
         out = prog(params, vocoder_params, w)
         float(jnp.sum(out[::10000]))  # value fetch forces execution
         return time.perf_counter() - t0
 
-    prog4, prog8 = chained(4), chained(8)
-    t0 = time.time()
-    run(prog4, wav)
-    compile_s = time.time() - t0
-    run(prog8, wav)  # warm both programs
-    print(f"bench: compile+first-run {compile_s:.1f}s "
+    device_s, dispatch_ms, method, compile_s = measure(make_prog, run, errors)
+    print(f"bench: method={method} compile+first-run "
+          f"{compile_s if compile_s is None else round(compile_s, 1)}s "
           f"(chunk {seconds:.0f}s, device {jax.devices()[0].platform})",
           file=sys.stderr)
-
-    t4 = min(run(prog4, wav * (1 + 1e-4 * r)) for r in range(3))
-    t8 = min(run(prog8, wav * (1 + 1e-4 * r)) for r in range(3))
-    device_s = max(t8 - t4, 1e-9) / 4.0
-    dispatch_ms = max(t4 - 4 * device_s, 0.0) * 1e3
+    if device_s is None:
+        errors.append("no timing method succeeded; value is null")
+        return
 
     # accuracy guard: production (bf16-operand) output vs the fp32 parity
     # path on the same chunk — reported as SNR so speed never silently
     # trades away fidelity (target >= 35 dB)
     snr_db = None
     if not os.environ.get("BENCH_SKIP_SNR"):
+        import functools
+
         import numpy as np
 
         from voicefixer_tpu.ops.precision import precision
 
         def one(w):
-            import functools
             fn = jax.jit(functools.partial(restore_segment, cfg=cfg))
             out, _ = fn(params, vocoder_params, w)
             return np.asarray(out)
 
-        prod = one(wav)
-        with precision("highest"):
-            ref = one(wav)
-        err = prod - ref
-        snr_db = float(10 * np.log10(
-            (np.sum(ref * ref) + 1e-20) / (np.sum(err * err) + 1e-20)))
+        def snr():
+            prod = one(wav)
+            with precision("highest"):
+                ref = one(wav)
+            err = prod - ref
+            return float(10 * np.log10(
+                (np.sum(ref * ref) + 1e-20) / (np.sum(err * err) + 1e-20)))
+
+        snr_db = call_with_retries("snr", snr, errors)
 
     # achieved TFLOP/s and %roofline from the analytic pipeline FLOP model
     # (XLA cost analysis reports 0 for Pallas custom calls; v5e bf16 peak:
@@ -118,19 +247,18 @@ def main():
     tflops = pipeline_flops(cfg, seconds) / device_s / 1e12
 
     value = seconds / device_s
-    print(json.dumps({
-        "metric": "mode0_restore_throughput",
+    result.update({
         "value": round(value, 2),
-        "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(value / 10.0, 3),
         "device_ms_per_chunk": round(device_s * 1e3, 2),
-        "dispatch_ms": round(dispatch_ms, 2),
-        "compile_s": round(compile_s, 1),
+        "dispatch_ms": None if dispatch_ms is None else round(dispatch_ms, 2),
+        "compile_s": None if compile_s is None else round(compile_s, 1),
+        "method": method,
         "snr_db_vs_fp32": None if snr_db is None else round(snr_db, 1),
         "achieved_tflops": round(tflops, 1),
         "pct_bf16_roofline": round(100 * tflops / 197.0, 1),
-    }))
+    })
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""bench.py must survive transient tunnel failures and always emit JSON.
+
+Round 2's official artifact (BENCH_r02.json rc=1) was lost to ONE transient
+remote-compile error ("response body closed"). These tests drive bench.py's
+measurement core with fake runners that inject exactly that class of
+failure and assert a number still comes out.
+
+Reference acceptance artifact this guards: the driver's BENCH_r{N}.json.
+"""
+
+import json
+import subprocess
+import sys
+
+import bench
+
+
+class Flaky:
+    """Raises `fails` times, then behaves like the wrapped fn."""
+
+    def __init__(self, fails, fn):
+        self.remaining = fails
+        self.fn = fn
+        self.calls = 0
+
+    def __call__(self, *a, **kw):
+        self.calls += 1
+        if self.remaining > 0:
+            self.remaining -= 1
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8083/remote_compile: read body: "
+                "response body closed before all bytes were read")
+        return self.fn(*a, **kw)
+
+
+def test_retry_recovers_after_transient_failures():
+    errors = []
+    fn = Flaky(2, lambda: 42)
+    out = bench.call_with_retries("x", fn, errors, retries=4, backoff=0,
+                                  sleep=lambda s: None)
+    assert out == 42
+    assert fn.calls == 3
+    assert len(errors) == 2  # both failures recorded even though it recovered
+
+
+def test_retry_gives_up_and_returns_none():
+    errors = []
+    out = bench.call_with_retries("x", Flaky(99, lambda: 1), errors,
+                                  retries=3, backoff=0, sleep=lambda s: None)
+    assert out is None
+    assert len(errors) == 3
+
+
+def make_fake_run(device_s, dispatch_s, fail_first=0):
+    """A run(prog, jitter) that 'measures' k*device_s + dispatch_s."""
+    state = {"fails": fail_first}
+
+    def run(prog, jitter):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise RuntimeError("remote_compile: response body closed")
+        return prog * device_s + dispatch_s
+
+    return run
+
+
+def test_measure_happy_path_k_differencing():
+    errors = []
+    device_s, dispatch_ms, method, _ = bench.measure(
+        lambda k: k, make_fake_run(0.07, 0.2), errors)
+    assert abs(device_s - 0.07) < 1e-9
+    assert abs(dispatch_ms - 200.0) < 1e-6
+    assert method == "K-diff(4,8)"
+    assert errors == []
+
+
+def test_measure_survives_one_transient_compile_failure(monkeypatch):
+    monkeypatch.setattr(bench, "BACKOFF_S", 0.0)
+    errors = []
+    device_s, dispatch_ms, method, _ = bench.measure(
+        lambda k: k, make_fake_run(0.07, 0.2, fail_first=1), errors)
+    assert abs(device_s - 0.07) < 1e-9
+    assert method == "K-diff(4,8)"
+    assert len(errors) == 1  # the failure is recorded in the JSON
+
+
+def test_measure_falls_back_to_smaller_k_pair(monkeypatch):
+    """K=8 never compiles -> the (2,4) pair must still produce the number."""
+    monkeypatch.setattr(bench, "BACKOFF_S", 0.0)
+    monkeypatch.setattr(bench, "RETRIES", 2)
+    base = make_fake_run(0.07, 0.2)
+
+    def run(prog, jitter):
+        if prog == 8:
+            raise RuntimeError("remote_compile: 413 request too large")
+        return base(prog, jitter)
+
+    errors = []
+    device_s, dispatch_ms, method, _ = bench.measure(lambda k: k, run, errors)
+    assert abs(device_s - 0.07) < 1e-9
+    assert method == "K-diff(2,4)"
+
+
+def test_measure_single_program_last_resort(monkeypatch):
+    """Only K=4 works at all -> single-program upper-bound estimate."""
+    monkeypatch.setattr(bench, "BACKOFF_S", 0.0)
+    monkeypatch.setattr(bench, "RETRIES", 2)
+    base = make_fake_run(0.07, 0.2)
+
+    def run(prog, jitter):
+        if prog != 4:
+            raise RuntimeError("tunnel down")
+        return base(prog, jitter)
+
+    errors = []
+    device_s, dispatch_ms, method, _ = bench.measure(lambda k: k, run, errors)
+    # (4*0.07 + 0.2)/4 = 0.12: overestimates device time, by design.
+    assert abs(device_s - 0.12) < 1e-9
+    assert method == "single(K=4)"
+    assert dispatch_ms is None
+
+
+def test_measure_total_failure_returns_none(monkeypatch):
+    monkeypatch.setattr(bench, "BACKOFF_S", 0.0)
+    monkeypatch.setattr(bench, "RETRIES", 2)
+
+    def run(prog, jitter):
+        raise RuntimeError("tunnel down")
+
+    errors = []
+    device_s, _, method, _ = bench.measure(lambda k: k, run, errors)
+    assert device_s is None
+    assert method == "none"
+
+
+def test_bench_emits_json_and_exit_0_even_on_fatal_import(tmp_path):
+    """End-to-end: break the device layer entirely; bench.py must still
+    print one JSON line and exit 0 (the round-2 failure mode)."""
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin",
+             # force an unusable platform so run_bench dies early and fast
+             "JAX_PLATFORMS": "cuda",
+             "VF_PLATFORM": "cuda",
+             "BENCH_RETRIES": "1", "BENCH_BACKOFF_S": "0",
+             "HOME": str(tmp_path)},
+        cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "mode0_restore_throughput"
+    assert "errors" in rec
