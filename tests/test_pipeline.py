@@ -244,3 +244,37 @@ def test_trim_center_matches_reference_semantics():
     assert theirs.shape[-1] == 0  # the reference bug, pinned
     ours = _trim_center(est, ref.shape[-1])
     np.testing.assert_array_equal(ours, est[:100])
+
+
+def test_pad_short_to_seg_single_program(vf):
+    """With pad_short_to_seg (default), every input length routes through
+    the ONE seg_length program: a short file and an uneven multi-chunk file
+    add no new jit cache entries beyond the first (VERDICT r2 weak-5:
+    per-length compiles dominate short-file latency)."""
+    assert vf.config.pipeline.pad_short_to_seg
+    seg = vf.config.pipeline.seg_length
+    rng = np.random.default_rng(1)
+
+    wav_short = rng.standard_normal(seg // 3).astype(np.float32)
+    out = vf.restore_inmem(wav_short, mode=0)
+    assert out.shape == wav_short.shape
+    n0 = vf._jit_batch._cache_size()
+
+    wav_uneven = rng.standard_normal(seg + seg // 2).astype(np.float32)
+    out = vf.restore_inmem(wav_uneven, mode=0)
+    assert out.shape == wav_uneven.shape
+    assert vf._jit_batch._cache_size() == n0  # no new compilation
+
+
+def test_pad_short_matches_unpadded_head(vf):
+    """Padding only appends synthesized tail; the head of the output is the
+    restore of the same padded segment, so a short restore equals the head
+    of restoring (wav + zeros)."""
+    seg = vf.config.pipeline.seg_length
+    rng = np.random.default_rng(2)
+    wav = rng.standard_normal(seg // 2).astype(np.float32)
+    short = vf.restore_inmem(wav, mode=0)
+    full = vf.restore_inmem(
+        np.concatenate([wav, np.zeros(seg - wav.shape[0], np.float32)]),
+        mode=0)
+    np.testing.assert_allclose(short, full[: wav.shape[0]], atol=1e-5)

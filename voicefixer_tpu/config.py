@@ -124,6 +124,14 @@ class PipelineConfig:
     seg_length_seconds: int = 30
     # mode-1 preprocessing cumulative-energy cutoff (ref: base.py:87)
     hf_removal_ratio: float = 0.95
+    # XLA programs specialize on shape: without padding, every distinct
+    # file/tail length compiles its own pipeline program (~60 s cold).
+    # With this on (eval modes only), short/tail chunks are zero-padded to
+    # seg_length so ONE cached program serves every input length; outputs
+    # are trimmed back, so lengths are unchanged. Costs one full chunk of
+    # device compute (~ms) per tail; off = reference-exact short-chunk
+    # programs.
+    pad_short_to_seg: bool = True
 
     @property
     def seg_length(self) -> int:

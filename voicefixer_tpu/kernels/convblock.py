@@ -212,6 +212,12 @@ def eligible(params, x, training: bool) -> bool:
     ci, co = w1.shape[2], w1.shape[3]
     if co > 128 or ci > 128:
         return False  # wide levels: XLA's conv is already fine there
+    if ci % 128 or co % 128:
+        # Mosaic (current libtpu) rejects HBM->VMEM DMA slices whose lane
+        # (channel) extent is not 128-aligned: "Slice shape along dimension
+        # 2 must be aligned to tiling (128)". Narrow levels route to the
+        # folded MXU conv in ops.conv instead (measured on-device r3).
+        return False
     bsz, t, f, _ = x.shape
     fp = _ceil8(f + 1)
     if t * fp < 8 * (2 * fp + 16):

@@ -108,6 +108,7 @@ def verify_checkpoint(path: str, which: str, deep: bool = True):
         raise RuntimeError(
             f"{which} checkpoint sha256 {digest} does not match the pinned "
             f"digest {pin}.")
+    return digest
 
 
 def _download(url: str, dest: str):
@@ -144,10 +145,13 @@ def _load(which: str, path: str | None, download: bool) -> dict:
                 f"or pass an explicit path.")
         _download(url, torch_ckpt)
 
-    verify_checkpoint(torch_ckpt, which)
+    digest = verify_checkpoint(torch_ckpt, which)
     params = convert(W.load_torch_state_dict(torch_ckpt))
     os.makedirs(CACHE_DIR, exist_ok=True)
-    W.save_pytree_npz(params, npz_cache)
+    W.save_pytree_npz(
+        params, npz_cache,
+        provenance=f"converted-from-torch source={torch_ckpt} "
+                   f"sha256={digest}")
     return params
 
 

@@ -5,8 +5,10 @@ restore / restore_inmem, 30 s chunking, modes 0/1/2, mode-1 high-frequency
 removal, energy cap, center trim).
 
 TPU design: each 30 s chunk is one jitted program (analysis + vocoder fused
-under a single jit); jit programs are cached per (chunk length, mode), so a
-long file costs at most two compilations (full chunks + the shorter tail).
+under a single jit); jit programs are cached per (chunk length, mode), and
+with pad_short_to_seg (default) short/tail chunks are zero-padded to the
+full segment so ONE cached program serves every input length — a file of
+any duration costs at most one compilation per mode.
 Mode 2 runs BatchNorm on batch statistics and live Dropout with an explicit
 PRNG key — deterministic given a seed, unlike the reference's torch
 `model.train()`.
@@ -249,10 +251,17 @@ class VoiceFixer:
 
         res: list = [None] * len(segments)
 
-        def emit(i, out, seg_len, peak=None):
+        def emit(i, out, seg_len, peak=None, orig_len=None):
             if peak is not None and float(peak) > 1.0:
                 print("Warning: Exceed energy limit,", float(peak))
-            res[i] = _trim_center(np.asarray(out), seg_len)
+            out = _trim_center(np.asarray(out), seg_len)
+            # padded short/tail chunk: the real audio starts at sample 0 of
+            # the padded segment, so after the center trim the head
+            # `orig_len` samples are the restored signal and the rest is
+            # synthesized padding — drop it.
+            if orig_len is not None and orig_len < out.shape[-1]:
+                out = out[..., :orig_len]
+            res[i] = out
 
         if your_vocoder_func is not None or training:
             # sequential path: custom vocoder funcs see one chunk at a time
@@ -279,6 +288,16 @@ class VoiceFixer:
         else:
             # eval modes: batch all same-length chunks into one jitted
             # program (exact — chunks are independent under running-stats BN)
+            # pad_short_to_seg: zero-pad short/tail chunks to seg_length so
+            # one cached XLA program serves every input length (the compile
+            # is ~60 s cold; a padded tail is ~ms of extra device work)
+            orig_lens: dict = {}
+            if self.config.pipeline.pad_short_to_seg:
+                for i, seg in enumerate(segments):
+                    if seg.shape[0] < seg_length:
+                        orig_lens[i] = seg.shape[0]
+                        segments[i] = jnp.pad(
+                            seg, (0, seg_length - seg.shape[0]))
             groups: dict = {}
             for i, seg in enumerate(segments):
                 groups.setdefault(seg.shape[0], []).append(i)
@@ -288,7 +307,8 @@ class VoiceFixer:
                     self.params, self.vocoder_params, stacked,
                     training=False, rng=None)
                 for j, i in enumerate(idxs):
-                    emit(i, outs[j], seg_len, peaks[j])
+                    emit(i, outs[j], seg_len, peaks[j],
+                         orig_len=orig_lens.get(i))
         return np.concatenate(res, axis=-1)
 
     def _restore_overlap(self, wav: np.ndarray, mode: int,

@@ -200,8 +200,14 @@ def convert_vocoder(sd: dict, prefix: str = "") -> dict:
 
 # ---------------------------------------------------------------- save/load
 
-def save_pytree_npz(params, path: str):
-    """Flatten a params pytree to an npz file."""
+def save_pytree_npz(params, path: str, provenance: str | None = None):
+    """Flatten a params pytree to an npz file.
+
+    `provenance` is stored under the reserved key "__provenance__" so a
+    cache file is self-describing (e.g. "converted-from-torch sha256=..."
+    vs "random-init seed=0"); loaders skip reserved "__*" keys. Use
+    npz_provenance() to read it back.
+    """
     flat = {}
 
     def walk(node, prefix):
@@ -215,12 +221,23 @@ def save_pytree_npz(params, path: str):
             flat[prefix] = np.asarray(node)
 
     walk(params, "")
+    if provenance is not None:
+        flat["__provenance__"] = np.asarray(provenance)
     np.savez(path, **flat)
+
+
+def npz_provenance(path: str) -> str | None:
+    """The provenance label embedded in a pytree npz, if any."""
+    with np.load(path) as z:
+        if "__provenance__" in z.files:
+            return str(z["__provenance__"])
+    return None
 
 
 def load_pytree_npz(path: str) -> dict:
     """Inverse of save_pytree_npz. Numeric path components become lists."""
-    flat = dict(np.load(path))
+    flat = {k: v for k, v in np.load(path).items()
+            if not k.startswith("__")}
     root: dict = {}
     for key, val in flat.items():
         parts = key.split("/")
