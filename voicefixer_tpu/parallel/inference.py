@@ -23,18 +23,27 @@ from voicefixer_tpu.pipeline.restore import _trim_center
 
 def _segments_of(vf, wav: np.ndarray, mode: int):
     """Split one waveform into the reference's consecutive segments,
-    applying mode-1 preprocessing (base.py:117-122)."""
+    applying mode-1 preprocessing (base.py:117-122).
+
+    Returns (segments, orig_lens): with pad_short_to_seg (matching
+    restore_inmem) short/tail segments are zero-padded to the full segment
+    so every chunk shares ONE jitted program shape; orig_lens[i] records the
+    pre-pad length whose restored head is kept after the center trim."""
     seg_length = vf.config.pipeline.seg_length
     wav = np.asarray(wav, dtype=np.float32).reshape(-1)
-    segs = []
+    segs, orig_lens = [], {}
     break_point = seg_length
     while break_point < wav.shape[0] + seg_length:
         seg = jnp.asarray(wav[break_point - seg_length: break_point])
         if mode == 1:
             seg = vf._jit_hf(seg)
+        if (vf.config.pipeline.pad_short_to_seg
+                and seg.shape[0] < seg_length):
+            orig_lens[len(segs)] = seg.shape[0]
+            seg = jnp.pad(seg, (0, seg_length - seg.shape[0]))
         segs.append(seg)
         break_point += seg_length
-    return segs
+    return segs, orig_lens
 
 
 def restore_wavs(vf, wavs, mode: int = 0, mesh=None,
@@ -56,7 +65,10 @@ def restore_wavs(vf, wavs, mode: int = 0, mesh=None,
     n_data = mesh.shape["data"]
 
     # gather (file, position) -> segment, grouped by segment length
-    per_file_segments = [_segments_of(vf, w, mode) for w in wavs]
+    split = [_segments_of(vf, w, mode) for w in wavs]
+    per_file_segments = [segs for segs, _ in split]
+    orig_len = {(fi, si): n for fi, (_, lens) in enumerate(split)
+                for si, n in lens.items()}
     groups: dict = {}
     for fi, segs in enumerate(per_file_segments):
         for si, seg in enumerate(segs):
@@ -80,7 +92,11 @@ def restore_wavs(vf, wavs, mode: int = 0, mesh=None,
             for j, (fi, si, _) in enumerate(chunk_items):
                 if float(peaks[j]) > 1.0:
                     print("Warning: Exceed energy limit,", float(peaks[j]))
-                results[(fi, si)] = _trim_center(outs[j], seg_len)
+                out = _trim_center(outs[j], seg_len)
+                n = orig_len.get((fi, si))
+                if n is not None and n < out.shape[-1]:
+                    out = out[..., :n]  # drop the synthesized padding tail
+                results[(fi, si)] = out
 
     out_wavs = []
     for fi, segs in enumerate(per_file_segments):
