@@ -290,3 +290,103 @@ def test_stft_mel_kernel_matches_ops_path(n):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dils", [(1, 3, 9), (1, 3, 9, 27)])
+def test_res_stream_matches_blocks(dils):
+    """Streaming ring-buffer kernel == sequential single blocks, including
+    the lagged output alignment, the left-edge (uninitialized history)
+    masking, and the folded stage-final activation."""
+    from voicefixer_tpu.kernels import resstream
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch, t = 128, 700
+    keys = jax.random.split(jax.random.PRNGKey(17), len(dils) * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.05)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
+              for i in range(len(dils))]
+    x = _rand(keys[-1], (2, t, ch))
+
+    ref = x
+    for p, d in zip(params, dils):
+        h = leaky_relu(ref, 0.2)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, 0.2)
+        ref = ref + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+    ref = leaky_relu(ref, 0.3)
+
+    got = resstream.res_stream(
+        x,
+        jnp.stack([p["c1"]["w"] for p in params]),
+        jnp.stack([p["c1"]["b"] for p in params]),
+        jnp.stack([p["c2"]["w"] for p in params]),
+        jnp.stack([p["c2"]["b"] for p in params]),
+        dils=dils, slope=0.2, final_slope=0.3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_res_stream_full_depth_production_dilations():
+    """The production depth-8 stack (dilations 1..2187, lag tile 3344) at a
+    T spanning several tiles, via the public res_stack dispatch at C=128."""
+    from voicefixer_tpu.kernels import resstack, resstream
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch, t, depth = 128, 7100, 8
+    dils = tuple(3 ** (i % 10) for i in range(depth))
+    assert resstack.stream_ok(ch, dils, t)
+    keys = jax.random.split(jax.random.PRNGKey(19), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.02)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.02)}}
+              for i in range(depth)]
+    for i in range(depth):
+        params[i]["c1"]["b"] = _rand(keys[4 * i + 1], (ch,), 0.02)
+        params[i]["c2"]["b"] = _rand(keys[4 * i + 3], (ch,), 0.02)
+    x = _rand(keys[-1], (1, t, ch))
+
+    ref = x
+    for p, d in zip(params, dils):
+        h = leaky_relu(ref, 0.2)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, 0.2)
+        ref = ref + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+
+    got = resstack.res_stack(params, x, 3, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_res_stream_fold_matches_plain():
+    """Folded C=64 + streaming kernel == plain conv reference (seam margins
+    and global-position masking through the fold lanes)."""
+    from voicefixer_tpu.kernels import resstack
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch, t, depth = 64, 2000, 4
+    dils = tuple(3 ** (i % 10) for i in range(depth))
+    reach = resstack._ceil8(sum(d + 1 for d in dils)) + 8
+    assert t >= 8 * reach
+    assert resstack.stream_ok(2 * ch, dils, t // 2 + 2 * reach)
+    keys = jax.random.split(jax.random.PRNGKey(23), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.05)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
+              for i in range(depth)]
+    x = _rand(keys[-1], (1, t, ch))
+
+    ref = x
+    for p, d in zip(params, dils):
+        h = leaky_relu(ref, 0.2)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, 0.2)
+        ref = ref + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+    ref = leaky_relu(ref, 0.3)
+
+    got = resstack._res_fold(params, x, dils, 0.2, 0.3, t_tile=256,
+                             matmul_dtype=jnp.float32, interpret=True,
+                             reach=reach)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)

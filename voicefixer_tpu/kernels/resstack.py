@@ -341,6 +341,27 @@ def _bdiag(w, ci: int, co: int):
     return z.at[..., :ci, :co].set(w).at[..., ci:, co:].set(w)
 
 
+def stream_ok(ch: int, dils, t_total: int, isz: int = 2, wsz: int = 2,
+              interpret: bool = False) -> bool:
+    """Route to the streaming ring-buffer kernel (kernels.resstream)?
+    Only for exactly-one-lane channel counts (at C>=256 the chained planner
+    already runs near roofline and streaming's weight bank alone blows
+    VMEM), for signals long enough that the lag-sized tile amortizes, and
+    when the dtype-dependent footprint fits — the fp32 parity path at
+    C=128 needs ~30 MB and must stay on the chained planner (found by the
+    r3 CLI drive: the bf16 bench compiled, the fp32 CLI OOM'd VMEM)."""
+    import os
+    if os.environ.get("VF_TPU_NO_PALLAS_RESSTREAM"):
+        return False
+    from voicefixer_tpu.kernels.resstream import (VMEM_BUDGET_STREAM,
+                                                  stream_lag,
+                                                  stream_vmem_bytes)
+    if ch != LANE or t_total < 2 * stream_lag(dils):
+        return False
+    return interpret or (stream_vmem_bytes(ch, dils, isz, wsz)
+                         <= VMEM_BUDGET_STREAM)
+
+
 def _res_fold(params: list, x: jnp.ndarray, dils: tuple, slope: float,
               final_slope, t_tile: int, matmul_dtype, interpret: bool,
               reach: int) -> jnp.ndarray:
@@ -360,6 +381,23 @@ def _res_fold(params: list, x: jnp.ndarray, dils: tuple, slope: float,
     la = jnp.pad(x[:, : half + reach, :], ((0, 0), (0, reach), (0, 0)))
     lb = jnp.pad(x[:, off:, :], ((0, 0), (0, reach), (0, 0)))
     xf = jnp.concatenate([la, lb], axis=-1)
+
+    if stream_ok(2 * ch, dils, xf.shape[1], jnp.dtype(x.dtype).itemsize,
+                 jnp.dtype(matmul_dtype).itemsize, interpret):
+        from voicefixer_tpu.kernels.resstream import res_stream
+        xf = res_stream(
+            xf,
+            jnp.stack([_bdiag(p["c1"]["w"], ch, ch) for p in params]),
+            jnp.stack([jnp.concatenate([p["c1"]["b"]] * 2)
+                       for p in params]),
+            jnp.stack([_bdiag(p["c2"]["w"], ch, ch) for p in params]),
+            jnp.stack([jnp.concatenate([p["c2"]["b"]] * 2)
+                       for p in params]),
+            dils=dils, slope=slope, final_slope=final_slope,
+            matmul_dtype=matmul_dtype, interpret=interpret,
+            mask_t_total=t, fold_offset=off, fold_ch=ch)
+        return jnp.concatenate(
+            [xf[:, :half, :ch], xf[:, reach: reach + half, ch:]], axis=1)
 
     isz = jnp.dtype(x.dtype).itemsize
     wsz = jnp.dtype(matmul_dtype).itemsize
@@ -415,6 +453,26 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
     isz = jnp.dtype(x.dtype).itemsize
     wsz = jnp.dtype(matmul_dtype).itemsize
     dils = tuple(3 ** (i % 10) for i in range(len(params)))
+
+    if stream_ok(ch, dils, x.shape[1], isz, wsz, interpret):
+        from voicefixer_tpu.kernels.resstream import res_stream
+
+        def padw(w):
+            return jnp.pad(w, ((0, 0), (0, pc), (0, pc))) if pc else w
+
+        def padb(b):
+            return jnp.pad(b, (0, pc)) if pc else b
+
+        out = res_stream(
+            x,
+            jnp.stack([padw(p["c1"]["w"]) for p in params]),
+            jnp.stack([padb(p["c1"]["b"]) for p in params]),
+            jnp.stack([padw(p["c2"]["w"]) for p in params]),
+            jnp.stack([padb(p["c2"]["b"]) for p in params]),
+            dils=dils, slope=slope, final_slope=final_slope,
+            matmul_dtype=matmul_dtype, interpret=interpret)
+        return out[..., :ch_orig] if pc else out
+
     groups = plan_chain(ch, dils, isz, wsz, t_cap=t_tile,
                         t_total=x.shape[1])
 

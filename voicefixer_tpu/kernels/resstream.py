@@ -1,0 +1,285 @@
+"""Streaming full-stack ResStack kernel: every block of the dilated
+residual chain in ONE pallas pass, with per-block VMEM history rings
+instead of halo recompute.
+
+Reference semantics: /root/reference/voicefixer/vocoder/model/modules.py
+:550-595 (ResStack layer i): y = x + C2(lrelu(C1(lrelu(x)))), C1 = conv k3
+dilation 3^(i%10) 'same' zero padding, C2 = conv k3 dilation 1.
+
+Why a second kernel next to kernels.resstack (the chained/halo design):
+the chain planner must SPLIT the depth-8 stack into ~4 groups because a
+chained tile's VMEM footprint grows with the summed dilations, so the
+full-rate signal streams HBM->VMEM->HBM four times, the huge-dilation
+singles re-read (tile + 2*2200)/tile = up to 3x their input, and the small
+tiles multiply per-grid-step fixed costs. Measured on v5e (r3): the C=128
+stage ran at 98 TF/s and the folded C=64 stage at 38 TF/s while the C=512
+stage hit 143 TF/s.
+
+This kernel instead runs all blocks per time tile at a static LAG:
+block i's output trails its input by lag_i = d_i + 8 rows (its conv reach
+plus an 8-row slab margin), so after the whole chain the final output
+trails the input tile by T_LAG = sum(d_i + 8) rows. Choosing the tile
+length EQUAL to T_LAG makes step j's final output exactly output tile j-1
+— the out BlockSpec just lags the grid by one step. Each block keeps the
+last (2*d_i + 16) rows of its input in a VMEM ring ("history"); per step it
+assembles [history | fresh] into a slab, computes its tile of output with
+NO recompute and NO extra HBM traffic, and hands the tile to the next
+block through a ping-pong VMEM buffer. The input is read once and the
+output written once — HBM traffic is the semantic minimum.
+
+Zero-'same' conv padding falls out of position masking: every value is
+masked against its GLOBAL row position (uninitialized history at the left
+edge, zero padding, and the flush step's stale DMA buffer are all outside
+[0, t_total) and multiply to zero). The time-folded C=64 mode of
+kernels.resstack (lane halves carrying two time windows) is supported via
+the same fold_offset masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def stream_lag(dils) -> int:
+    """Total output lag = tile length: sum of per-block lags (d_i + 8).
+    All production dilations are odd and the depth is even, so the sum is
+    8-aligned; odd test configs get rounded up via the last block's lag."""
+    lag = sum(d + 8 for d in dils)
+    return -(-lag // 8) * 8
+
+
+# the model underestimates Mosaic's real stack by ~10% (measured r3:
+# estimate 14.7M -> actual ~15.1M at bf16/C=128), so the budget leaves
+# headroom under the 16 MB hardware limit
+VMEM_BUDGET_STREAM = 15_500_000
+
+
+def stream_vmem_bytes(ch: int, dils, isz: int, wsz: int) -> int:
+    """VMEM footprint model for the streaming kernel: persistent buffers
+    (dma double buffer, inter-block tile, shared slab, history rings,
+    double-buffered out block), the stacked weight banks, and the per-block
+    transients (activated tap slice, fp32 h, activated h slice, fp32 y)."""
+    tt = stream_lag(dils)
+    hist_rows = [2 * d + 16 for d in dils]
+    hist_rows[-1] += tt - sum(d + 8 for d in dils)
+    buffers = (2 * tt + tt + (tt + max(hist_rows)) + sum(hist_rows)
+               + 2 * tt) * ch * isz
+    weights = len(dils) * 2 * (3 * ch * ch + ch) * wsz
+    trans = ((tt + 16) * ch * wsz + (tt + 16) * ch * 4
+             + tt * ch * wsz + tt * ch * 4)
+    return buffers + weights + trans
+
+
+def _stream_kernel(*refs, tt: int,
+                   dils: tuple, lags: tuple, hist_off: tuple,
+                   t_total: int, t_arr: int, slope: float, final_slope,
+                   acc_dtype, double_buffer: bool,
+                   fold_offset: int | None, fold_ch: int,
+                   dyn_bounds: bool):
+    if dyn_bounds:
+        (x_hbm, bounds_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+         dma_s, fbuf_s, slab_s, hist_s, sem) = refs
+    else:
+        (x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+         dma_s, fbuf_s, slab_s, hist_s, sem) = refs
+        bounds_ref = None
+    b_idx = pl.program_id(0)
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    ch = fbuf_s.shape[1]
+
+    # x_hbm is padded to n_steps tiles (one zero tile beyond the last input
+    # tile), so every step can copy unconditionally — the flush step reads
+    # zeros, which position masking discards anyway.
+    def copy_in(j, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(j * tt, tt), :],
+            dma_s.at[slot], sem.at[slot])
+
+    if double_buffer:
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            copy_in(0, 0).start()
+
+        @pl.when(step + 1 < n_steps)
+        def _():
+            copy_in(step + 1, 1 - slot).start()
+
+        copy_in(step, slot).wait()
+    else:
+        # interpret mode: pl.when branches cannot hold DMA primitives on
+        # the CPU interpreter — use a blocking copy.
+        slot = 0
+        copy_in(step, 0).start()
+        copy_in(step, 0).wait()
+
+    prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def pos_mask(rows, row0, val):
+        """Zero `val` outside BOTH the array rows [0, t_arr) and the true
+        signal [0, t_total). The array-row test kills the streaming
+        artifacts (uninitialized history at the left edge, the flush step's
+        stale input) — essential in fold mode, where lane half B's signal
+        positions are shifted by fold_offset and would otherwise make
+        garbage history rows look in-signal. The signal-position test is
+        the conv zero-'same' padding semantics."""
+        arow = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        ok = (arow >= 0) & (arow < t_arr)
+        if fold_offset is None:
+            pos = arow
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, val.shape[-1]),
+                                            1)
+            pos = arow + jnp.where(lane >= fold_ch, fold_offset, 0)
+        return jnp.where(ok & (pos >= 0) & (pos < t_total), val, 0.0)
+
+    # base position of the current input tile; each block's coordinates
+    # hang off it at static offsets
+    base = step * tt
+    cum = 0  # cumulative lag before block i
+    for i, d in enumerate(dils):
+        lag = lags[i]
+        hist_rows = lag + d + 8          # covers [a - d - 8, prev newest)
+        s_rows = tt + hist_rows          # slab = [history | fresh]
+        h0 = hist_off[i]
+        cum += lag
+        a0 = base - cum                  # first output row of this block
+
+        # assemble the slab: history then this step's fresh tile (fbuf_s is
+        # a SINGLE buffer: block i consumes it into the slab here, after
+        # which it is dead and block i may overwrite it with its own y)
+        slab_s[pl.ds(0, hist_rows), :] = hist_s[pl.ds(h0, hist_rows), :]
+        if i == 0:
+            slab_s[pl.ds(hist_rows, tt), :] = dma_s[slot]
+        else:
+            slab_s[pl.ds(hist_rows, tt), :] = fbuf_s[:]
+        # save the next step's history BEFORE any in-place math
+        hist_s[pl.ds(h0, hist_rows), :] = slab_s[pl.ds(tt, hist_rows), :]
+
+        # conv1 (k3 dilation d): h rows cover [a0 - 8, a0 + tt + 8);
+        # tap j of h row r reads slab row r + j*d (slab row 0 is global
+        # a0 - d - 8). lrelu+mask are recomputed per tap slice to avoid
+        # materializing the activated slab (VMEM, not FLOPs, is scarce).
+        wh = tt + 16
+        h = None
+        for j in range(3):
+            x32 = slab_s[pl.ds(j * d, wh), :].astype(jnp.float32)
+            av = pos_mask(wh, a0 - 8 + (j - 1) * d,
+                          jnp.where(x32 > 0, x32, slope * x32)
+                          ).astype(acc_dtype)
+            dot = jnp.dot(av, w1_ref[i, pl.ds(j * ch, ch), :],
+                          precision=prec,
+                          preferred_element_type=jnp.float32)
+            h = dot if h is None else h + dot
+        h = pos_mask(wh, a0 - 8, h + b1_ref[i])
+
+        # conv2 (k3 dilation 1) + residual over [a0, a0 + tt)
+        y = None
+        for j in range(3):
+            hs = h[7 + j: 7 + j + tt]
+            hb = jnp.where(hs > 0, hs, slope * hs).astype(acc_dtype)
+            dot = jnp.dot(hb, w2_ref[i, pl.ds(j * ch, ch), :],
+                          precision=prec,
+                          preferred_element_type=jnp.float32)
+            y = dot if y is None else y + dot
+        y = y + b2_ref[i] + slab_s[pl.ds(d + 8, tt), :].astype(jnp.float32)
+        y = pos_mask(tt, a0, y)
+
+        if i + 1 < len(dils):
+            fbuf_s[:] = y.astype(fbuf_s.dtype)
+        else:
+            if final_slope is not None:
+                # stage-final activation folded into the epilogue
+                # (generator.py:94: LeakyReLU after every ResStack)
+                y = jnp.where(y > 0, y, final_slope * y)
+            out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+
+def _stack_w(ws, dtype):
+    """[n, 3, C, C] torch-tap-order conv weights -> [n, 3*C, C]."""
+    n, k, ci, co = ws.shape
+    return ws.reshape(n, k * ci, co).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dils", "slope", "final_slope", "matmul_dtype", "interpret",
+    "mask_t_total", "fold_offset", "fold_ch"))
+def res_stream(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
+               slope: float = 0.2, final_slope=None,
+               matmul_dtype=jnp.float32, interpret: bool = False,
+               mask_t_total: int | None = None,
+               fold_offset: int | None = None, fold_ch: int = 64):
+    """Run the whole len(dils)-block ResStack in one streaming kernel.
+
+    x: [B, T, C] with C a multiple of 128 (callers lane-pad or fold
+    smaller C); w1s/w2s: [n, 3, C, C]; b1s/b2s: [n, C]. Same contract as
+    kernels.resstack.res_chain over the full dilation tuple.
+    """
+    bsz, t_total, ch = x.shape
+    assert ch % LANE == 0, "res_stream needs lane-padded channels"
+    tt = stream_lag(dils)
+    lags = [d + 8 for d in dils]
+    lags[-1] += tt - sum(lags)  # absorb 8-alignment slack
+    hist_rows = [lag + d + 8 for lag, d in zip(lags, dils)]
+    hist_off, acc = [], 0
+    for rows in hist_rows:
+        hist_off.append(acc)
+        acc += rows
+    max_slab = tt + max(hist_rows)
+
+    n_in = pl.cdiv(t_total, tt)
+    t_pad = n_in * tt
+    # one extra zero tile so the flush step's unconditional copy stays in
+    # bounds (its contents are position-masked to zero regardless)
+    x_p = jnp.pad(x, ((0, 0), (0, t_pad + tt - t_total), (0, 0)))
+
+    n = len(dils)
+    kernel = functools.partial(
+        _stream_kernel, tt=tt, dils=tuple(dils), lags=tuple(lags),
+        hist_off=tuple(hist_off),
+        t_total=t_total if mask_t_total is None else mask_t_total,
+        t_arr=t_total,
+        slope=slope, final_slope=final_slope, acc_dtype=matmul_dtype,
+        double_buffer=not interpret,
+        fold_offset=fold_offset, fold_ch=fold_ch)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_in + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # step j finalizes output tile j-1 (max keeps step 0's garbage on
+        # tile 0, which step 1 then overwrites before the flush)
+        out_specs=pl.BlockSpec(
+            (1, tt, ch), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tt, ch), x.dtype),            # dma double buffer
+            pltpu.VMEM((tt, ch), x.dtype),               # inter-block tile
+            pltpu.VMEM((max_slab, ch), x.dtype),         # shared slab
+            pltpu.VMEM((acc, ch), x.dtype),              # history rings
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_p, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
+      _stack_w(w2s, matmul_dtype), b2s.reshape(n, 1, ch))
+    return out[:, :t_total, :]
