@@ -25,12 +25,14 @@ import jax
 
 def enabled() -> bool:
     """Use Pallas kernels? True on a real TPU backend unless disabled.
-    Model-parallel meshes route to the plain-jax path: the kernels are
-    single-device programs with no GSPMD partitioning rule (parallel.tp)."""
+    Under a model-parallel mesh the kernels stay on only inside a shard_map
+    body (parallel.sp), where arrays are shard-local single-device values;
+    outside one, GSPMD-sharded arrays route to the plain-jax path (the
+    kernels have no partitioning rule — parallel.tp)."""
     if os.environ.get("VF_TPU_NO_PALLAS"):
         return False
-    from voicefixer_tpu.parallel import tp
-    if tp.model_parallel():
+    from voicefixer_tpu.parallel import sp, tp
+    if tp.model_parallel() and not sp.in_shard_map():
         return False
     try:
         return jax.default_backend() == "tpu"

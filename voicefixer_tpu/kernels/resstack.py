@@ -148,11 +148,17 @@ def plan_chain(ch: int, dils, isz: int, wsz: int, t_cap: int = 8192,
     return groups
 
 
-def _chain_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-                  x_s, sem, *, t_tile: int, ext: tuple, dils: tuple,
+def _chain_kernel(*refs, t_tile: int, ext: tuple, dils: tuple,
                   t_total: int, slope: float, final_slope,
                   acc_dtype, double_buffer: bool,
-                  fold_offset: int | None = None, fold_ch: int = 64):
+                  fold_offset: int | None = None, fold_ch: int = 64,
+                  dyn_bounds: bool = False):
+    if dyn_bounds:
+        (x_hbm, bounds_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+         x_s, sem) = refs
+    else:
+        (x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, x_s, sem) = refs
+        bounds_ref = None
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     n_blk = pl.num_programs(1)
@@ -196,11 +202,16 @@ def _chain_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
         carry two different time windows, so the global position differs
         per lane half by fold_offset."""
         pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        if fold_offset is None:
-            return jnp.where((pos >= 0) & (pos < t_total), val, 0.0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, val.shape[-1]), 1)
-        pos = pos + jnp.where(lane >= fold_ch, fold_offset, 0)
-        return jnp.where((pos >= 0) & (pos < t_total), val, 0.0)
+        if fold_offset is not None:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, val.shape[-1]),
+                                            1)
+            pos = pos + jnp.where(lane >= fold_ch, fold_offset, 0)
+        ok = (pos >= 0) & (pos < t_total)
+        if bounds_ref is not None:
+            # traced signal bounds (sequence-parallel shards: the true
+            # signal window within the halo'd local array)
+            ok = ok & (pos >= bounds_ref[0]) & (pos < bounds_ref[1])
+        return jnp.where(ok, val, 0.0)
 
     for i, dil in enumerate(dils):
         ein, eout = ext[i], ext[i + 1]
@@ -257,7 +268,8 @@ def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
               slope: float = 0.2, final_slope=None, t_tile: int = 4096,
               matmul_dtype=jnp.float32, interpret: bool = False,
               mask_t_total: int | None = None,
-              fold_offset: int | None = None, fold_ch: int = 64):
+              fold_offset: int | None = None, fold_ch: int = 64,
+              mask_bounds=None):
     """Run len(dils) consecutive ResStack blocks in one kernel.
 
     x: [B, T, C] with C a multiple of 128 (callers lane-pad smaller C);
@@ -267,6 +279,10 @@ def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
     fold_ch carry a second time window offset by fold_offset, and the
     zero-'same' masking tests positions against the GLOBAL signal length
     mask_t_total rather than the folded array length.
+
+    mask_bounds: optional TRACED [lo, hi) int32 pair further narrowing the
+    signal window (sequence-parallel shards pass their true signal range
+    within the halo'd local array).
     """
     bsz, t_total, ch = x.shape
     assert ch % LANE == 0, "res_chain needs lane-padded channels"
@@ -282,22 +298,27 @@ def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
         t_total=t_total if mask_t_total is None else mask_t_total,
         slope=slope, final_slope=final_slope,
         acc_dtype=matmul_dtype, double_buffer=not interpret,
-        fold_offset=fold_offset, fold_ch=fold_ch)
+        fold_offset=fold_offset, fold_ch=fold_ch,
+        dyn_bounds=mask_bounds is not None)
     n = len(dils)
+    wspec = [
+        pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bspec = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+             if mask_bounds is not None else [])
+    bargs = ([jnp.asarray(mask_bounds, jnp.int32)]
+             if mask_bounds is not None else [])
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_blk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + bspec + wspec,
         out_specs=pl.BlockSpec((1, t_tile, ch), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x.dtype),
@@ -306,7 +327,7 @@ def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_p, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
+    )(x_p, *bargs, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
       _stack_w(w2s, matmul_dtype), b2s.reshape(n, 1, ch))
     return out[:, :t_total, :]
 
@@ -421,7 +442,8 @@ def _res_fold(params: list, x: jnp.ndarray, dils: tuple, slope: float,
 
 def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
               t_tile: int = 8192, matmul_dtype=jnp.float32,
-              final_slope=None, interpret: bool = False) -> jnp.ndarray:
+              final_slope=None, interpret: bool = False,
+              mask_bounds=None) -> jnp.ndarray:
     """Full ResStack via chained kernels, grouped by plan_chain; layers whose
     (channels, dilation) cannot fit VMEM at all (C=512 with dil >= 729) take
     the jax conv path. Drop-in for models.vocoder._res_stack (k=3 only — the
@@ -430,12 +452,17 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
 
     C = 64 at long T takes the time-folded path (_res_fold); other channels
     < 128 are lane-padded to 128 ONCE for the whole stack — zero-padded
-    channels stay exactly zero through leaky-relu/conv/residual."""
+    channels stay exactly zero through leaky-relu/conv/residual.
+
+    mask_bounds: optional TRACED [lo, hi) signal window (sequence-parallel
+    shards); the fold path is skipped when set — fold's own offset masking
+    assumes the array starts at signal position 0."""
     assert kernel == 3, "fused kernel supports k=3 (production config)"
     from voicefixer_tpu.ops.conv import conv1d, leaky_relu
     ch_orig = x.shape[-1]
     dils_all = tuple(3 ** (i % 10) for i in range(len(params)))
-    if ch_orig * 2 == LANE and x.shape[1] % 2 == 0:
+    if (ch_orig * 2 == LANE and x.shape[1] % 2 == 0
+            and mask_bounds is None):
         reach = _ceil8(sum(d + 1 for d in dils_all)) + 8
         if x.shape[1] >= 8 * reach:
             isz = jnp.dtype(x.dtype).itemsize
@@ -470,7 +497,8 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
             jnp.stack([padw(p["c2"]["w"]) for p in params]),
             jnp.stack([padb(p["c2"]["b"]) for p in params]),
             dils=dils, slope=slope, final_slope=final_slope,
-            matmul_dtype=matmul_dtype, interpret=interpret)
+            matmul_dtype=matmul_dtype, interpret=interpret,
+            mask_bounds=mask_bounds)
         return out[..., :ch_orig] if pc else out
 
     groups = plan_chain(ch, dils, isz, wsz, t_cap=t_tile,
@@ -482,6 +510,15 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
                         for p in sub])
         return ws
 
+    def bounds_mask(v):
+        """Zero rows outside the traced [lo, hi) window — matches the
+        kernels' dynamic-bounds masking for the jax fallback blocks."""
+        if mask_bounds is None:
+            return v
+        pos = jnp.arange(v.shape[1])[None, :, None]
+        return jnp.where((pos >= mask_bounds[0]) & (pos < mask_bounds[1]),
+                         v, 0.0)
+
     for gi, (i0, i1, tt) in enumerate(groups):
         sub = params[i0:i1]
         last = gi == len(groups) - 1
@@ -489,11 +526,12 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
             # wide-channel, huge-dilation layer: plain convs (pc == 0 there)
             for k, p in enumerate(sub):
                 d = dils[i0 + k]
-                h = leaky_relu(x, slope)
+                h = leaky_relu(bounds_mask(x), slope)
                 h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d,
                            dilation=d)
-                h = leaky_relu(h, slope)
+                h = leaky_relu(bounds_mask(h), slope)
                 x = x + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+                x = bounds_mask(x)
             if last and final_slope is not None:
                 x = leaky_relu(x, final_slope)
             continue
@@ -506,5 +544,5 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
         x = res_chain(x, w1s, b1s, w2s, b2s, dils=dils[i0:i1], slope=slope,
                       final_slope=final_slope if last else None,
                       t_tile=tt, matmul_dtype=matmul_dtype,
-                      interpret=interpret)
+                      interpret=interpret, mask_bounds=mask_bounds)
     return x[..., :ch_orig] if pc else x

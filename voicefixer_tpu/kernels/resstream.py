@@ -141,7 +141,12 @@ def _stream_kernel(*refs, tt: int,
             lane = jax.lax.broadcasted_iota(jnp.int32, (rows, val.shape[-1]),
                                             1)
             pos = arow + jnp.where(lane >= fold_ch, fold_offset, 0)
-        return jnp.where(ok & (pos >= 0) & (pos < t_total), val, 0.0)
+        ok = ok & (pos >= 0) & (pos < t_total)
+        if bounds_ref is not None:
+            # traced signal bounds in array coordinates (sequence-parallel
+            # shards: the true signal window within the halo'd local array)
+            ok = ok & (pos >= bounds_ref[0]) & (pos < bounds_ref[1])
+        return jnp.where(ok, val, 0.0)
 
     # base position of the current input tile; each block's coordinates
     # hang off it at static offsets
@@ -218,12 +223,18 @@ def res_stream(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
                slope: float = 0.2, final_slope=None,
                matmul_dtype=jnp.float32, interpret: bool = False,
                mask_t_total: int | None = None,
-               fold_offset: int | None = None, fold_ch: int = 64):
+               fold_offset: int | None = None, fold_ch: int = 64,
+               mask_bounds=None):
     """Run the whole len(dils)-block ResStack in one streaming kernel.
 
     x: [B, T, C] with C a multiple of 128 (callers lane-pad or fold
     smaller C); w1s/w2s: [n, 3, C, C]; b1s/b2s: [n, C]. Same contract as
     kernels.resstack.res_chain over the full dilation tuple.
+
+    mask_bounds: optional TRACED [lo, hi) int32 pair narrowing the signal
+    window in array coordinates — sequence-parallel shards pass their true
+    signal range so zero-'same' masking matches the unsharded computation
+    (positions outside it are treated as conv zero padding at every block).
     """
     bsz, t_total, ch = x.shape
     assert ch % LANE == 0, "res_stream needs lane-padded channels"
@@ -251,21 +262,26 @@ def res_stream(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
         t_arr=t_total,
         slope=slope, final_slope=final_slope, acc_dtype=matmul_dtype,
         double_buffer=not interpret,
-        fold_offset=fold_offset, fold_ch=fold_ch)
+        fold_offset=fold_offset, fold_ch=fold_ch,
+        dyn_bounds=mask_bounds is not None)
+    wspec = [
+        pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bspec = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+             if mask_bounds is not None else [])
+    bargs = ([jnp.asarray(mask_bounds, jnp.int32)]
+             if mask_bounds is not None else [])
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_in + 1),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + bspec + wspec,
         # step j finalizes output tile j-1 (max keeps step 0's garbage on
         # tile 0, which step 1 then overwrites before the flush)
         out_specs=pl.BlockSpec(
@@ -280,6 +296,6 @@ def res_stream(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_p, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
+    )(x_p, *bargs, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
       _stack_w(w2s, matmul_dtype), b2s.reshape(n, 1, ch))
     return out[:, :t_total, :]

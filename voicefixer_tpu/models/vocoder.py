@@ -32,11 +32,15 @@ from voicefixer_tpu.ops.precision import activation_dtype, get_precision
 
 
 def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
-               final_slope: float | None = None):
+               final_slope: float | None = None, mask_bounds=None):
     """ResStack (modules.py:531-595): depth-8 dilated residual conv pairs,
     dilations 3^(i%10). Returns (out, activated): when the fused kernel path
     folds the stage-final LeakyReLU(final_slope) into its epilogue
-    (generator.py:94), activated is True and the caller skips it."""
+    (generator.py:94), activated is True and the caller skips it.
+
+    mask_bounds: optional TRACED [lo, hi) signal window in array rows —
+    sequence-parallel shards (parallel.sp) treat positions outside it as
+    the convs' zero 'same' padding at every block."""
     from voicefixer_tpu import kernels
     ch = x.shape[-1]
     if (kernel == 3 and kernels.use("resstack")
@@ -46,18 +50,27 @@ def _res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
         from voicefixer_tpu.kernels.resstack import res_stack
         return res_stack(params, x, kernel, slope,
                          final_slope=final_slope,
-                         matmul_dtype=kernels.matmul_dtype()), \
+                         matmul_dtype=kernels.matmul_dtype(),
+                         mask_bounds=mask_bounds), \
             final_slope is not None
+
+    def bounds_mask(v):
+        if mask_bounds is None:
+            return v
+        pos = jnp.arange(v.shape[1])[None, :, None]
+        return jnp.where((pos >= mask_bounds[0]) & (pos < mask_bounds[1]),
+                         v, 0.0)
+
     for i, layer in enumerate(params):
         dil = 3 ** (i % 10)
         pad = (kernel * dil - dil) // 2
-        h = leaky_relu(x, slope)
+        h = leaky_relu(bounds_mask(x), slope)
         h = conv1d(h, layer["c1"]["w"], layer["c1"]["b"], padding=pad,
                    dilation=dil)
-        h = leaky_relu(h, slope)
+        h = leaky_relu(bounds_mask(h), slope)
         h = conv1d(h, layer["c2"]["w"], layer["c2"]["b"],
                    padding=(kernel - 1) // 2)
-        x = x + h
+        x = bounds_mask(x + h)
     return x, False
 
 

@@ -8,38 +8,53 @@ channel-sharded convs would psum a full-rate [T, C] activation per conv —
 more ICI bytes than the FLOPs they save — and a channel-sharded array
 cannot enter the fused Pallas kernels, which are single-device programs.
 Time sharding gives each chip T/n of every stage's work, communicates only
-receptive-field halos (a few thousand frames per boundary), and each shard
-runs the SAME fused kernels as a single chip. This is the device-side
-realization of the SURVEY §5 long-form north star: the sequence dimension
-is shardable because everything is convolutional with finite reach
-(reference chunking: /root/reference/voicefixer/base.py:117-138; vocoder:
-/root/reference/voicefixer/vocoder/model/generator.py:72-100).
+receptive-field halos (a few thousand rows per boundary per stage), and
+each shard runs the SAME fused kernels as a single chip. This is the
+device-side realization of the SURVEY §5 long-form north star — the
+sequence dimension is shardable because everything is convolutional with
+finite reach (reference chunking: /root/reference/voicefixer/base.py
+:117-138; vocoder: /root/reference/voicefixer/vocoder/model/generator.py
+:72-100, which has no parallelism at all).
 
-Exactness: each stage computes on [halo | local | halo] and keeps the
-center. `ppermute` fills the mesh-edge halos with ZEROS — exactly the
-zero padding the reference convs assume beyond the signal — and interior
-halos with the neighbor's real rows, so the kept center equals the
-unsharded computation (tests/test_sp.py pins this on a CPU mesh). The only
-non-local op is the final k7 output conv's REFLECTION padding, whose
-global-edge effect is confined to the outermost 3 samples per side; those
-are recomputed exactly outside the shard_map from returned edge slices.
+Exactness, piece by piece:
+- Interior shard boundaries: every stage computes on [halo | local | halo]
+  and keeps the center; the halo covers the stage's receptive reach, so
+  the center equals the unsharded computation.
+- Global edges: `ppermute` fills absent-neighbor halos with ZEROS —
+  exactly the zero 'same' padding the reference convs assume beyond the
+  signal.
+- The divisibility pad: the condnet output is zero-padded so the time axis
+  divides the axis size. Those rows are NOT silence to the generator
+  (biases propagate), so every ResStack receives a TRACED [lo, hi) signal
+  window (mask_bounds) and treats outside positions as conv zero padding
+  at every block — the same masking the kernels already do for their own
+  tile padding, now with shard-dependent bounds.
+- The final k7 output conv's REFLECTION padding is the one non-local op;
+  its effect is confined to the outermost 3 samples per side of the GLOBAL
+  waveform, which are recomputed exactly outside the shard_map from
+  returned edge slices.
 
-The Pallas kernels stay enabled inside the shard_map body (in_shard_map()
-below tells kernels.enabled() that arrays are shard-local), which is what
-makes model-axis parallelism keep the fused path.
+tests/test_sp.py pins apply_sp == models.vocoder.apply on a CPU mesh.
 """
 
 from __future__ import annotations
 
 import contextlib
 import contextvars
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw.pop("check_rep", None)
+        return _shard_map(f, check_vma=False, **kw)
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 from voicefixer_tpu.config import VocoderConfig
 
@@ -50,12 +65,12 @@ _IN_SHARD_MAP: contextvars.ContextVar = contextvars.ContextVar(
 def in_shard_map() -> bool:
     """True while tracing a shard_map body whose arrays are shard-local —
     the Pallas kernels are safe (and wanted) there even under a
-    model-parallel mesh."""
+    model-parallel mesh (kernels.enabled consults this)."""
     return _IN_SHARD_MAP.get()
 
 
 @contextlib.contextmanager
-def _shard_local():
+def shard_local():
     token = _IN_SHARD_MAP.set(True)
     try:
         yield
@@ -65,27 +80,37 @@ def _shard_local():
 
 def exchange_halo(x: jnp.ndarray, h: int, axis: str) -> jnp.ndarray:
     """[B, T_loc, C] -> [B, T_loc + 2h, C] with h rows from each neighbor
-    along `axis`. Mesh-edge devices receive ZEROS (ppermute semantics for
-    absent sources) — identical to the zero padding the convs assume
-    beyond the global signal."""
+    along `axis`, multi-hop when the halo exceeds one shard (h > T_loc).
+    Mesh-edge devices receive ZEROS (ppermute fills absent sources)."""
     n = lax.axis_size(axis)
+    t_loc = x.shape[1]
     if n == 1 or h == 0:
         return jnp.pad(x, ((0, 0), (h, h), (0, 0)))
-    left = lax.ppermute(x[:, -h:, :], axis,
-                        [(i, i + 1) for i in range(n - 1)])
-    right = lax.ppermute(x[:, :h, :], axis,
-                         [(i + 1, i) for i in range(n - 1)])
-    return jnp.concatenate([left, x, right], axis=1)
+    k = -(-h // t_loc)  # hops needed to cover the halo
+    lperm = [(i, i + 1) for i in range(n - 1)]
+    rperm = [(i + 1, i) for i in range(n - 1)]
+    lblocks, rblocks = [], []
+    lcur = rcur = x
+    for _ in range(k):
+        lcur = lax.ppermute(lcur, axis, lperm)   # from left neighbor
+        rcur = lax.ppermute(rcur, axis, rperm)   # from right neighbor
+        lblocks.insert(0, lcur)
+        rblocks.append(rcur)
+    lcat = jnp.concatenate(lblocks, axis=1)      # global [o - k*T_loc, o)
+    rcat = jnp.concatenate(rblocks, axis=1)      # global [o + T_loc, ...)
+    return jnp.concatenate(
+        [lcat[:, k * t_loc - h:, :], x, rcat[:, :h, :]], axis=1)
 
 
 def _upsample_local(params: dict, x: jnp.ndarray, scale: int,
                     axis: str) -> jnp.ndarray:
     """UpsampleNet on a time shard: with a 1-row halo each side, the local
-    polyphase output rows [p : p + s*T_loc] of
-      z[(q+1)*s + rho] = a_ext[q+1] @ W[rho] + a_ext[q] @ W[rho + s]
-    equal the global output rows [d*s*T_loc, (d+1)*s*T_loc)
-    (ops.conv.conv_transpose1d's polyphase identity with k = 2s,
-    p = s//2 + s%2; the reference's torch ConvTranspose1d semantics)."""
+    output rows are z[p : p + s*T_loc] of the polyphase form
+      z[(m + q0)*s + rho] = a_ext[m] @ W[rho] + a_ext[m-1] @ W[rho + s]
+    — torch ConvTranspose1d(k=2s, stride s, padding p=s//2+s%2,
+    output_padding s%2) semantics per ops.conv.conv_transpose1d. Beyond-
+    signal rows are zeros (masked by the previous stage), and x + sin(x)
+    keeps them zero, matching the transposed conv's implicit zero taps."""
     w, b = params["w"], params["b"]  # [2s, Cin, Cout]
     k, cin, cout = w.shape
     s = scale
@@ -94,73 +119,28 @@ def _upsample_local(params: dict, x: jnp.ndarray, scale: int,
     a = xe + jnp.sin(xe)
     t_loc = x.shape[1]
     from voicefixer_tpu.ops.precision import get_precision
-    # z_rel[m, rho] covers polyphase groups q = d*T_loc - 1 + m, m in
-    # [1, T_loc + 2); local output = z[global j + p], j' in [0, s*T_loc)
-    # -> z_rel index j' + p relative to group m = 1.
-    wlo = w[:s].reshape(s, cin, cout)   # taps rho (multiply a[q])
-    whi = w[s:].reshape(s, cin, cout)   # taps rho + s (multiply a[q-1])
-    z = (jnp.einsum("btc,rco->btro", a[:, 1:], wlo,
+    z = (jnp.einsum("btc,rco->btro", a[:, 1:], w[:s],
                     precision=get_precision())
-         + jnp.einsum("btc,rco->btro", a[:, :-1], whi,
+         + jnp.einsum("btc,rco->btro", a[:, :-1], w[s:],
                       precision=get_precision()))
     z = z.reshape(x.shape[0], (t_loc + 1) * s, cout)
     return z[:, pad: pad + s * t_loc, :] + b
 
 
-def _res_stack_local(params: list, x: jnp.ndarray, kernel: int,
-                     slope: float, final_slope: float, axis: str):
-    """Full ResStack on a time shard: exchange the stack's whole receptive
-    reach once, run the fused kernels (or jax convs on CPU) on the extended
-    array, keep the center. Inside the ext array the kernels' "zero outside
-    my array" masking matches the global zero padding at mesh edges and is
-    confined to the discarded halo in the interior."""
-    from voicefixer_tpu.models.vocoder import _res_stack
-    dils = tuple(3 ** (i % 10) for i in range(len(params)))
-    reach = sum(d + 1 for d in dils)
-    h = -(-reach // 8) * 8  # 8-aligned halo (Mosaic sublane tiling)
-    xe = exchange_halo(x, h, axis)
-    y, activated = _res_stack(params, xe, kernel, slope,
-                              final_slope=final_slope)
-    if not activated:
-        from voicefixer_tpu.ops.conv import leaky_relu
-        y = leaky_relu(y, final_slope)
-    return y[:, h: h + x.shape[1], :]
-
-
-def _post_conv_local(params: dict, x: jnp.ndarray, axis: str):
-    """Output projection on a time shard (k7 conv C->1 + tanh), computed
-    with a zero halo; the reflection-pad difference is confined to the
-    outermost pad (=3) samples of the GLOBAL waveform, which the caller
-    patches from the returned edge slices."""
-    w, b = params["w"], params["b"]  # [K, C, 1], [1]
-    k = w.shape[0]
-    pad = (k - 1) // 2
-    xe = exchange_halo(x, pad, axis)
-    t = x.shape[1]
-    from voicefixer_tpu.ops.precision import get_precision
-    y = None
-    for j in range(k):
-        yj = jnp.einsum("btc,c->bt", xe[:, j: j + t, :], w[j, :, 0],
-                        precision=get_precision())
-        y = yj if y is None else y + yj
-    return jnp.tanh(y + b[0])[..., None]
-
-
 def apply_sp(params: dict, mel: jnp.ndarray, cfg: VocoderConfig,
              mesh: Mesh, axis: str = "model") -> jnp.ndarray:
     """Sequence-parallel twin of models.vocoder.apply: mel [B, T, n_mels]
-    (normalized, tail-padded) -> wav [B, T*441, 1], numerically matching
-    the single-device path (tests/test_sp.py).
+    (normalized, +-4 domain, tail-padded) -> wav [B, T*441, 1], numerically
+    matching the single-device path.
 
     The cheap global-context prologue (condnet + reflection-padded pre
     conv, <2% of the FLOPs) runs replicated; the four (upsample, resstack)
     stages and the output conv run time-sharded over `axis` inside one
-    shard_map, exchanging receptive-field halos between stages.
-    """
-    from voicefixer_tpu.models.vocoder import _res_stack  # noqa: F401
+    shard_map, exchanging receptive-field halos between stages."""
+    from voicefixer_tpu.models.vocoder import _res_stack
     from voicefixer_tpu.ops.conv import (conv1d, elu, leaky_relu,
                                          reflection_pad1d)
-    from voicefixer_tpu.ops.precision import activation_dtype
+    from voicefixer_tpu.ops.precision import activation_dtype, get_precision
 
     n = mesh.shape[axis]
     adt = activation_dtype()
@@ -174,29 +154,55 @@ def apply_sp(params: dict, mel: jnp.ndarray, cfg: VocoderConfig,
     x = leaky_relu(x, cfg.leaky_slope_act)
 
     t0 = x.shape[1]
-    t_pad = -(-t0 // n) * n - t0
-    # trailing zero frames make T divide the axis; the extra synthesized
-    # tail is cut after the shard_map (zero frames are NOT silent through
-    # the generator, so the pad must be sliced off, not blended)
-    x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0)))
-
-    stage_params = [
-        {"up": s["up"], "res": s["res"]} for s in params["stages"]
-    ]
+    t0p = -(-t0 // n) * n
+    x = jnp.pad(x, ((0, 0), (0, t0p - t0), (0, 0)))
+    t_loc0 = t0p // n
+    up_total = 1
+    for s in cfg.upsample_scales:
+        up_total *= s
+    w_post = params["post"]["w"]
+    pad_post = (w_post.shape[0] - 1) // 2
+    # signal-end offset inside the LAST shard at the full rate (static)
+    end_off = t0 * up_total - (n - 1) * t_loc0 * up_total
 
     def body(xl, stages, post):
-        with _shard_local():
+        with shard_local():
+            idx = lax.axis_index(axis)
+            t_loc, rate = t_loc0, 1
             for i, stage in enumerate(stages):
                 xl = _upsample_local(stage["up"], xl,
                                      cfg.upsample_scales[i], axis)
-                xl = _res_stack_local(stage["res"], xl,
-                                      cfg.resstack_kernel[i],
-                                      cfg.leaky_slope_res,
-                                      cfg.leaky_slope_act, axis)
-            wav = _post_conv_local(post, xl, axis)
-            # edge rows for the caller's reflection-pad patch-up
-            head = lax.dynamic_slice_in_dim(xl, 0, 8, 1)
-            tail = lax.dynamic_slice_in_dim(xl, xl.shape[1] - 8, 8, 1)
+                t_loc *= cfg.upsample_scales[i]
+                rate *= cfg.upsample_scales[i]
+                dils = tuple(3 ** (j % 10) for j in range(len(stage["res"])))
+                reach = sum(d + 1 for d in dils)
+                h = -(-reach // 8) * 8
+                xe = exchange_halo(xl, h, axis)
+                # signal window [0, t0*rate) in ext-array coordinates
+                lo = h - idx * t_loc
+                bounds = jnp.stack([lo, lo + t0 * rate])
+                y, activated = _res_stack(stage["res"], xe,
+                                          cfg.resstack_kernel[i],
+                                          cfg.leaky_slope_res,
+                                          final_slope=cfg.leaky_slope_act,
+                                          mask_bounds=bounds)
+                if not activated:
+                    y = leaky_relu(y, cfg.leaky_slope_act)
+                    # re-apply the signal window: the jax path's final
+                    # activation ran on masked y, zeros stay zero
+                xl = y[:, h: h + t_loc, :]
+            # output conv with a zero halo; reflection handled by caller
+            xe = exchange_halo(xl, pad_post, axis)
+            t = xl.shape[1]
+            y = None
+            for j in range(w_post.shape[0]):
+                yj = jnp.einsum("btc,c->bt", xe[:, j: j + t, :],
+                                post["w"][j, :, 0],
+                                precision=get_precision())
+                y = yj if y is None else y + yj
+            wav = jnp.tanh(y + post["b"][0])[..., None]
+            head = xl[:, :8, :]
+            tail = xl[:, end_off - 8: end_off, :]
         return wav, head, tail
 
     wav, heads, tails = shard_map(
@@ -205,31 +211,47 @@ def apply_sp(params: dict, mel: jnp.ndarray, cfg: VocoderConfig,
         out_specs=(P(None, axis, None), P(None, axis, None),
                    P(None, axis, None)),
         check_rep=False,
-    )(x, stage_params, params["post"])
+    )(x, stage_params_list(params), params["post"])
 
-    # exact reflection-pad patch-up for the outermost `pad` samples of the
-    # global waveform (shard 0's head rows and shard n-1's tail rows)
-    w, b = params["post"]["w"], params["post"]["b"]
-    k = w.shape[0]
-    pad = (k - 1) // 2
-    from voicefixer_tpu.ops.precision import get_precision
+    wav = wav[:, : t0 * up_total, :]
 
+    # exact reflection-pad patch-up for the outermost pad_post samples of
+    # the global waveform (reference: generator.py:95-99 ReflectionPad(3))
     def patch(edge, left: bool):
-        # edge: [B, 8, C] true boundary rows of the full-rate signal
-        xp = reflection_pad1d(edge, pad)
-        seg = xp[:, :2 * pad + k - 1] if left else xp[:, -(2 * pad + k - 1):]
+        xp = reflection_pad1d(edge, pad_post)
+        seg = (xp[:, : 3 * pad_post, :] if left
+               else xp[:, -3 * pad_post:, :])
         y = None
-        for j in range(k):
-            yj = jnp.einsum("btc,c->bt", seg[:, j: j + pad, :], w[j, :, 0],
-                            precision=get_precision())
+        for j in range(w_post.shape[0]):
+            yj = jnp.einsum("btc,c->bt", seg[:, j: j + pad_post, :],
+                            w_post[j, :, 0], precision=get_precision())
             y = yj if y is None else y + yj
-        return jnp.tanh(y + b[0])[..., None]
+        return jnp.tanh(y + params["post"]["b"][0])[..., None]
 
-    head = heads[:, :8, :]
-    tail = tails[:, -8:, :]
-    total = x.shape[1] * int(jnp.prod(jnp.asarray(cfg.upsample_scales)))
-    wav = wav.at[:, :pad, :].set(patch(head, True))
-    wav = wav.at[:, total - pad:, :].set(patch(tail, False))
+    head = heads[:, :8, :]          # shard 0's true head rows
+    tail = tails[:, -8:, :]         # shard n-1's true signal-end rows
+    wav = wav.at[:, :pad_post, :].set(patch(head, True))
+    wav = wav.at[:, t0 * up_total - pad_post:, :].set(patch(tail, False))
+    return wav.astype(mel.dtype)
 
-    # cut the synthesized tail that came from the divisibility pad
-    return wav[:, : t0 * total // x.shape[1], :].astype(mel.dtype)
+
+def stage_params_list(params: dict) -> list:
+    return [{"up": s["up"], "res": s["res"]} for s in params["stages"]]
+
+
+def synthesize_sp(params: dict, mel: jnp.ndarray, cfg: VocoderConfig,
+                  mesh: Mesh, divide_weight: bool = True,
+                  axis: str = "model") -> jnp.ndarray:
+    """Sequence-parallel twin of pipeline.vocoder_facade.synthesize
+    (vocoder/base.py:42-56 semantics): linear analysis-convention mel
+    [B, T, 128] -> wav [B, S, 1]."""
+    from voicefixer_tpu.config import mel_weight_curve
+    from voicefixer_tpu.ops.norm import vocoder_normalize_mel
+    from voicefixer_tpu.pipeline.vocoder_facade import pad_tail
+
+    if divide_weight:
+        w = jnp.asarray(mel_weight_curve(cfg.num_mels), dtype=mel.dtype)
+        mel = mel / w
+    mel = vocoder_normalize_mel(mel, cfg)
+    mel = pad_tail(mel, -cfg.max_abs_value)
+    return apply_sp(params, mel, cfg, mesh, axis=axis)

@@ -15,10 +15,17 @@ TRACE time: callers enter `use_mesh(mesh)` around the traced call (the
 after the first trace). With no active mesh (or n_model == 1) every helper
 is an exact no-op, so single-device paths compile unchanged.
 
-The Pallas kernels are single-device programs with no GSPMD partitioning
-rule, so `kernels.use` routes models to the plain-jax path whenever a
-model-parallel mesh is active (`model_parallel()` below); data-parallel
-meshes keep the fused kernels (batch sharding never crosses a kernel).
+The "model" axis is split by stage: the ANALYSIS models use the GSPMD
+channel parallelism above, while the VOCODER (narrow channels, 1.3 M-sample
+time axis) runs SEQUENCE-parallel instead (parallel.sp) — time sharded over
+the same axis inside a shard_map with ppermute halo exchange, each shard
+running the fused Pallas kernels intact. Outside a shard_map body the
+kernels remain single-device programs with no GSPMD partitioning rule, so
+`kernels.use` routes GSPMD-sharded model code to the plain-jax path when a
+model-parallel mesh is active (`model_parallel()` below) — except inside
+parallel.sp's shard_map, where arrays are shard-local and the kernels stay
+on (sp.in_shard_map). Data-parallel meshes keep the fused kernels
+everywhere (batch sharding never crosses a kernel).
 """
 
 from __future__ import annotations

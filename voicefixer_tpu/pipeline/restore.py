@@ -131,8 +131,18 @@ def restore_batch(analysis_params: dict, vocoder_params: dict,
     out = analysis.apply(analysis_params, mel_orig, cfg,
                          training=training, rng=rng)
     denoised_mel = from_log(out["mel"])
-    wav_out = vocoder_facade.synthesize(vocoder_params, denoised_mel,
-                                        cfg.vocoder)[..., 0]  # [B, S]
+    from voicefixer_tpu.parallel import tp
+    mesh = tp.active_mesh()
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # model axis => sequence-parallel vocoder: time sharded over the
+        # axis with ppermute halo exchange, fused kernels kept per shard
+        # (parallel.sp); the analysis stage stays GSPMD channel-sharded.
+        from voicefixer_tpu.parallel.sp import synthesize_sp
+        wav_out = synthesize_sp(vocoder_params, denoised_mel, cfg.vocoder,
+                                mesh)[..., 0]
+    else:
+        wav_out = vocoder_facade.synthesize(vocoder_params, denoised_mel,
+                                            cfg.vocoder)[..., 0]  # [B, S]
     peaks = jnp.max(jnp.abs(wav_out), axis=-1)  # [B]
     wav_out = jnp.where((peaks > 1.0)[:, None], wav_out / peaks[:, None],
                         wav_out)
@@ -178,9 +188,15 @@ class VoiceFixer:
         self.params = fold_bn_eval(params)
         self.vocoder_params = vocoder_params
         if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from voicefixer_tpu.parallel.mesh import replicated
             from voicefixer_tpu.parallel.sharding import shard_params
             self.params = shard_params(self.params, mesh)
-            self.vocoder_params = shard_params(self.vocoder_params, mesh)
+            # vocoder weights stay REPLICATED: the model axis runs the
+            # vocoder sequence-parallel (parallel.sp), where every shard
+            # applies the full channel width to its time slice
+            self.vocoder_params = jax.tree.map(
+                lambda p: jax.device_put(p, replicated(mesh)),
+                self.vocoder_params)
         from voicefixer_tpu.parallel import tp
         self._jit_segment = tp.wrap(jax.jit(
             partial(restore_segment, cfg=config),
