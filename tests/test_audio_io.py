@@ -95,3 +95,59 @@ def test_native_flac_decoder_bit_exact():
         sr_n, d_n = flac_native.read_flac(path)
         assert sr_p == sr_n
         np.testing.assert_array_equal(d_p, d_n)
+
+
+def test_flac_encoder_roundtrips_pure_python(tmp_path):
+    """write_flac -> utils.flac decoder is bit-exact (CONSTANT + FIXED
+    subframes, full and partial blocks, mono and stereo)."""
+    from voicefixer_tpu.utils.flac_enc import write_flac
+
+    rng = np.random.default_rng(7)
+    ramp = (np.linspace(-3000, 3000, 5000)).astype(np.int16)
+    noise = (rng.normal(0, 2000, 5000)).astype(np.int16)
+    silence = np.zeros(5000, np.int16)
+    mono = np.concatenate([ramp, noise, silence])  # 15000 = 3x4096 + 2712
+    f = str(tmp_path / "m.flac")
+    write_flac(mono, f, 44100)
+    sr, got = read_flac(f)
+    assert sr == 44100
+    np.testing.assert_array_equal(got[:, 0], mono)
+
+    stereo = np.stack([mono, noise.repeat(3)], axis=1)
+    f2 = str(tmp_path / "s.flac")
+    write_flac(stereo, f2, 22050)
+    sr2, got2 = read_flac(f2)
+    assert sr2 == 22050
+    np.testing.assert_array_equal(got2, stereo)
+
+
+def test_flac_encoder_roundtrips_reference_audio(tmp_path):
+    """Re-encode the reference utterance and decode with BOTH decoders."""
+    from voicefixer_tpu.utils import flac as pyflac
+    from voicefixer_tpu.utils.flac_enc import write_flac
+
+    sr, data = pyflac.read_flac(ORIG_FLAC)
+    f = str(tmp_path / "re.flac")
+    write_flac(data.astype(np.int16), f, sr)
+    sr2, got = pyflac.read_flac(f)
+    assert sr2 == sr
+    np.testing.assert_array_equal(got, data)
+
+    from voicefixer_tpu.utils import audio_io
+    if getattr(audio_io, "_native_flac_available", lambda: False)():
+        srn, gotn = audio_io.read_flac_native(f)
+        assert srn == sr
+        np.testing.assert_array_equal(gotn, data)
+
+
+def test_save_wave_flac_dispatch(tmp_path):
+    from voicefixer_tpu.utils.audio_io import save_wave
+    from voicefixer_tpu.utils.flac import read_flac as rf
+
+    wav = np.sin(np.linspace(0, 100, 9000)).astype(np.float32) * 0.5
+    f = str(tmp_path / "out.flac")
+    save_wave(wav, f, 44100)
+    sr, got = rf(f)
+    assert sr == 44100
+    np.testing.assert_array_equal(got[:, 0],
+                                  (wav * 2 ** 15).astype(np.int16))

@@ -5,9 +5,10 @@
     voicefixer_tpu -ifdr folder -ofdr outfolder
 
 Differences from the reference (documented, deliberate):
-- FLAC inputs are accepted in addition to WAV (we bundle a decoder).
-- Outputs are always WAV containers (no libsndfile in the runtime), so the
-  outfile extension must be .wav.
+- FLAC is supported on both sides with no libsndfile in the runtime: inputs
+  via the bundled decoders (utils.flac / native C++), outputs via the
+  bundled encoder (utils.flac_enc). Other containers are rejected with a
+  clear error (the reference defers to soundfile's format table).
 - `--weight_prepare` downloads AND converts the checkpoints to the JAX npz
   cache (the reference merely triggers its import-time download).
 - `--disable-cuda` is accepted and ignored: JAX owns device placement.
@@ -46,9 +47,10 @@ def check_output_format(outfile: str):
     if not ext:
         raise SystemExit("Error: A file-extension for the outfile is "
                          "missing.")
-    if ext.lower() != ".wav":
+    if ext.lower() not in AUDIO_EXTS:
         raise SystemExit(f"Error: Unsupported output format {ext} — this "
-                         "build writes WAV containers only.")
+                         "build writes WAV (scipy) and FLAC (bundled "
+                         "encoder) containers.")
 
 
 def check_arguments(args):

@@ -79,8 +79,10 @@ def load_wav(path: str, sample_rate: int) -> np.ndarray:
 
 def save_wave(frames: np.ndarray, fname: str, sample_rate: int = 44100):
     """Reference save_wave semantics (tools/wav.py:9-37): floats with
-    max <= 1 are scaled by 2**15, cast to int16, written via the WAV
-    container (any extension is written as RIFF/WAV data)."""
+    max <= 1 are scaled by 2**15, cast to int16, then written in the
+    container chosen by the extension — FLAC via the bundled encoder
+    (utils.flac_enc), anything else as RIFF/WAV data (the reference
+    defers to soundfile's extension dispatch, __main__.py:30-33)."""
     frames = np.asarray(frames)
     if frames.ndim == 1:
         frames = frames[:, None]
@@ -90,6 +92,10 @@ def save_wave(frames: np.ndarray, fname: str, sample_rate: int = 44100):
     if np.issubdtype(frames.dtype, np.floating) and np.max(np.abs(frames)) <= 1:
         frames = frames * (2 ** 15)
     frames = frames.astype(np.int16)
+    if fname.lower().endswith(".flac"):
+        from voicefixer_tpu.utils.flac_enc import write_flac
+        write_flac(frames, fname, sample_rate)
+        return
     wavfile.write(fname, sample_rate, frames)
 
 
