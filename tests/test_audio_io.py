@@ -97,6 +97,12 @@ def test_native_flac_decoder_bit_exact():
         np.testing.assert_array_equal(d_p, d_n)
 
 
+def _decoded_to_int16(floats):
+    """read_flac returns int/2**15-scaled float32 (utils/flac.py:294); undo
+    the scale to compare against the int16 samples fed to the encoder."""
+    return np.round(np.asarray(floats) * 32768.0).astype(np.int16)
+
+
 def test_flac_encoder_roundtrips_pure_python(tmp_path):
     """write_flac -> utils.flac decoder is bit-exact (CONSTANT + FIXED
     subframes, full and partial blocks, mono and stereo)."""
@@ -111,14 +117,14 @@ def test_flac_encoder_roundtrips_pure_python(tmp_path):
     write_flac(mono, f, 44100)
     sr, got = read_flac(f)
     assert sr == 44100
-    np.testing.assert_array_equal(got[:, 0], mono)
+    np.testing.assert_array_equal(_decoded_to_int16(got[:, 0]), mono)
 
     stereo = np.stack([mono, noise.repeat(3)], axis=1)
     f2 = str(tmp_path / "s.flac")
     write_flac(stereo, f2, 22050)
     sr2, got2 = read_flac(f2)
     assert sr2 == 22050
-    np.testing.assert_array_equal(got2, stereo)
+    np.testing.assert_array_equal(_decoded_to_int16(got2), stereo)
 
 
 def test_flac_encoder_roundtrips_reference_audio(tmp_path):
@@ -127,17 +133,18 @@ def test_flac_encoder_roundtrips_reference_audio(tmp_path):
     from voicefixer_tpu.utils.flac_enc import write_flac
 
     sr, data = pyflac.read_flac(ORIG_FLAC)
+    ints = _decoded_to_int16(data)  # original source was 16-bit: exact
     f = str(tmp_path / "re.flac")
-    write_flac(data.astype(np.int16), f, sr)
+    write_flac(ints, f, sr)
     sr2, got = pyflac.read_flac(f)
     assert sr2 == sr
-    np.testing.assert_array_equal(got, data)
+    np.testing.assert_array_equal(_decoded_to_int16(got), ints)
 
-    from voicefixer_tpu.utils import audio_io
-    if getattr(audio_io, "_native_flac_available", lambda: False)():
-        srn, gotn = audio_io.read_flac_native(f)
+    from voicefixer_tpu.utils import flac_native
+    if flac_native.load() is not None:
+        srn, gotn = flac_native.read_flac(f)
         assert srn == sr
-        np.testing.assert_array_equal(gotn, data)
+        np.testing.assert_array_equal(_decoded_to_int16(gotn), ints)
 
 
 def test_save_wave_flac_dispatch(tmp_path):
@@ -149,5 +156,5 @@ def test_save_wave_flac_dispatch(tmp_path):
     save_wave(wav, f, 44100)
     sr, got = rf(f)
     assert sr == 44100
-    np.testing.assert_array_equal(got[:, 0],
+    np.testing.assert_array_equal(_decoded_to_int16(got[:, 0]),
                                   (wav * 2 ** 15).astype(np.int16))
