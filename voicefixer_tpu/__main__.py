@@ -13,6 +13,12 @@ Differences from the reference (documented, deliberate):
   cache (the reference merely triggers its import-time download).
 - `--disable-cuda` is accepted and ignored: JAX owns device placement.
 - `--seed` makes mode 2 deterministic (the reference's mode 2 is stochastic).
+- Folder mode scales out: with `--coordinator/--num-processes/--process-id`
+  (or VF_* env vars) files are sharded round-robin across hosts — each file
+  restored and written by exactly one process — and within each process the
+  eval modes batch every chunk of every file data-parallel over the local
+  devices (parallel.inference.restore_wavs). VF_NO_DP=1 forces the
+  reference-shaped sequential per-file loop.
 """
 
 from __future__ import annotations
@@ -177,7 +183,9 @@ def main(argv=None):
 
     process_file, process_folder = check_arguments(args)
 
-    if not args.silent:
+    import jax
+    pid, n_proc = jax.process_index(), jax.process_count()
+    if not args.silent and pid == 0:
         print("Initializing VoiceFixer")
     from voicefixer_tpu.pipeline.restore import VoiceFixer
     if args.config_preset == "tiny":
@@ -198,29 +206,75 @@ def main(argv=None):
             raise SystemExit(
                 f"Error: unsupported input format {audioext}; supported: "
                 f"{', '.join(AUDIO_EXTS)}.")
-        if not args.silent:
-            print(f"Start processing the input file {args.infile}.")
-        for m in modes:
-            writefile(voicefixer, args.infile, args.outfile, m, append,
-                      args.seed, verbose=not args.silent,
-                      chunk_overlap=args.chunk_overlap)
+        if pid == 0:
+            # a single file is one unit of work: only the primary restores
+            # and writes it (N hosts would otherwise redundantly write the
+            # same output)
+            if not args.silent:
+                print(f"Start processing the input file {args.infile}.")
+            for m in modes:
+                writefile(voicefixer, args.infile, args.outfile, m, append,
+                          args.seed, verbose=not args.silent,
+                          chunk_overlap=args.chunk_overlap)
 
     if process_folder:
         files = [f for f in sorted(os.listdir(args.infolder))
                  if os.path.splitext(f)[-1].lower() in AUDIO_EXTS]
-        if not args.silent:
+        if not args.silent and pid == 0:
             print(f"Found {len(files)} audio files in the input folder "
                   f"{args.infolder}. Start processing.")
-        for f in files:
+        # files are sharded round-robin across processes: each file is
+        # restored and written by exactly one host (the reference loops
+        # sequentially on one machine, __main__.py:177-219)
+        my_files = files[pid::n_proc]
+
+        def out_path(f: str, m) -> str:
+            dst = os.path.join(args.outfolder,
+                               os.path.splitext(f)[0] + ".wav")
+            if append:
+                base, ext = os.path.splitext(os.path.basename(dst))
+                dst = os.path.join(os.path.dirname(dst),
+                                   f"{base}-mode{m}{ext}")
+            return dst
+
+        # eval modes with reference-parity seams batch every chunk of every
+        # local file into data-parallel programs over the local devices;
+        # mode 2 (sequential per-chunk BN stats) and overlap-add quality
+        # mode keep the per-file path
+        dp_modes = [m for m in modes if int(m) in (0, 1)
+                    and args.chunk_overlap == 0 and my_files
+                    and not os.environ.get("VF_NO_DP")]
+        seq_modes = [m for m in modes if m not in dp_modes]
+
+        if dp_modes:
+            from voicefixer_tpu.parallel.inference import restore_wavs
+            from voicefixer_tpu.parallel.mesh import make_mesh
+            from voicefixer_tpu.utils import audio_io
+            sr = voicefixer.config.pipeline.sample_rate
+            mesh = make_mesh(devices=jax.local_devices())
+            wavs = [audio_io.load_wav(os.path.join(args.infolder, f), sr)
+                    for f in my_files]
+            for m in dp_modes:
+                start = time.time()
+                outs = restore_wavs(voicefixer, wavs, mode=int(m), mesh=mesh)
+                for f, out in zip(my_files, outs):
+                    audio_io.save_wave(out, fname=out_path(f, m),
+                                       sample_rate=sr)
+                if not args.silent:
+                    print(f"Restoration took "
+                          f"{round(time.time() - start, 1)} s "
+                          f"({len(my_files)} files, mode {m}, "
+                          f"process {pid}/{n_proc})")
+        for f in my_files:
             in_file = os.path.join(args.infolder, f)
             base = os.path.splitext(f)[0]
             out_file = os.path.join(args.outfolder, base + ".wav")
-            for m in modes:
+            for m in seq_modes:
                 writefile(voicefixer, in_file, out_file, m, append,
                           args.seed, verbose=not args.silent,
                           chunk_overlap=args.chunk_overlap)
 
-    if not args.silent:
+    if not args.silent and pid == 0:
         print("Done")
     return 0
 
