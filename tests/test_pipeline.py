@@ -179,6 +179,61 @@ def test_restore_overlap_add_quality_mode(vf):
     np.testing.assert_allclose(rec, sig, atol=1e-6)
 
 
+def test_overlap_add_vs_unchunked_budget():
+    """SURVEY 7.3's stated plan: quality mode is validated against the
+    UNCHUNKED output to an error budget. Bit-exactness is impossible (the
+    vocoder's receptive field is seconds long), so the budgeted quantity is
+    the error measured against a single-program restore of the whole wav:
+
+    - hard seams (the reference's torch.cat, base.py:138) concentrate error
+      at chunk boundaries: seam-local mean error is >2x the interior error;
+    - crossfaded overlap-add with ramp >= 0.25 s makes seams statistically
+      indistinguishable from the interior (measured ratios on this config:
+      hard 3.3x -> 1.03x @ 0.25 s -> 0.80x @ 0.5 s), and does not degrade
+      the interior.
+
+    This (with benchmarks/bench_overlap.py at production scale) justifies
+    the CLI's recommended --chunk-overlap 1.0 quality setting."""
+    cfg1 = tiny_config()
+    cfg4 = dataclasses.replace(
+        cfg1, pipeline=dataclasses.replace(cfg1.pipeline,
+                                           seg_length_seconds=4))
+    import jax
+
+    from voicefixer_tpu.models import analysis, vocoder
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = analysis.init(k1, cfg1)
+    vparams = vocoder.init(k2, cfg1.vocoder)
+    vf_ch = VoiceFixer(params=params, vocoder_params=vparams, config=cfg1)
+    vf_un = VoiceFixer(params=params, vocoder_params=vparams, config=cfg4)
+
+    n = int(44100 * 3.5)
+    wav = (np.random.default_rng(7).standard_normal(n) * 0.1).astype(
+        np.float32)
+    ref = vf_un.restore_inmem(wav, mode=0)  # single 4 s program: unchunked
+    seg = cfg1.pipeline.seg_length
+
+    def seam_vs_interior(out, positions, w=441):  # +-10 ms of each seam
+        e = np.abs(out - ref)
+        m = np.zeros(n, bool)
+        for p in positions:
+            m[max(0, p - w): p + w] = True
+        return float(e[m].mean()), float(e[~m].mean())
+
+    hard = vf_ch.restore_inmem(wav, mode=0)
+    se_h, ie_h = seam_vs_interior(hard, [seg, 2 * seg, 3 * seg])
+    assert se_h > 2.0 * ie_h, (se_h, ie_h)  # hard seams ARE an artifact
+
+    ramp = 0.5
+    out = vf_ch.restore_inmem(wav, mode=0, chunk_overlap_seconds=ramp)
+    stride = seg - int(ramp * 44100)
+    se_o, ie_o = seam_vs_interior(out, list(range(stride, n, stride)))
+    assert se_o < 1.3 * ie_o, (se_o, ie_o)  # seams blend into the interior
+    assert se_o < 0.5 * se_h, (se_o, se_h)  # and beat the hard-seam error
+    # the interior is not degraded by the re-windowing
+    assert ie_o < 1.5 * ie_h, (ie_o, ie_h)
+
+
 def test_restore_overlap_mode1(vf):
     n = int(44100 * 1.6)
     wav = (np.random.default_rng(3).standard_normal(n) * 0.1).astype(
