@@ -216,14 +216,27 @@ def run_bench(result, errors):
 
     # accuracy guard: production (bf16-operand) output vs the fp32 parity
     # path on the same chunk — reported as SNR so speed never silently
-    # trades away fidelity (target >= 35 dB)
+    # trades away fidelity (target >= 35 dB), with per-stage SNRs so a
+    # precision regression is LOCALIZED (VERDICT r3 weak-5: budgets live in
+    # tests/test_snr_budget.py; this reports the TPU pallas-path values)
     snr_db = None
+    stage_snr = None
     if not os.environ.get("BENCH_SKIP_SNR"):
         import functools
 
         import numpy as np
 
+        from voicefixer_tpu.models import analysis as analysis_model
+        from voicefixer_tpu.ops.norm import from_log
         from voicefixer_tpu.ops.precision import precision
+        from voicefixer_tpu.pipeline import vocoder_facade
+
+        def snr_of(prod, ref):
+            prod, ref = np.asarray(prod, np.float64), np.asarray(
+                ref, np.float64)
+            return float(10 * np.log10(
+                (np.sum(ref * ref) + 1e-20)
+                / (np.sum((prod - ref) ** 2) + 1e-20)))
 
         def one(w):
             fn = jax.jit(functools.partial(restore_segment, cfg=cfg))
@@ -234,11 +247,32 @@ def run_bench(result, errors):
             prod = one(wav)
             with precision("highest"):
                 ref = one(wav)
-            err = prod - ref
-            return float(10 * np.log10(
-                (np.sum(ref * ref) + 1e-20) / (np.sum(err * err) + 1e-20)))
+            return snr_of(prod, ref)
 
         snr_db = call_with_retries("snr", snr, errors)
+
+        if not os.environ.get("BENCH_SKIP_STAGE_SNR"):
+            def stage_snrs():
+                def mel_one():
+                    return jax.jit(functools.partial(
+                        analysis_model.restore_mel, cfg=cfg))(
+                            params, wav[None])
+                mel_p = mel_one()
+                with precision("highest"):
+                    mel_r = mel_one()
+                den = from_log(mel_r)
+
+                def voc_one():
+                    return jax.jit(functools.partial(
+                        vocoder_facade.synthesize, cfg=cfg.vocoder))(
+                            vocoder_params, den)
+                voc_p = voc_one()
+                with precision("highest"):
+                    voc_r = voc_one()
+                return {"analysis_mel": round(snr_of(mel_p, mel_r), 1),
+                        "vocoder": round(snr_of(voc_p, voc_r), 1)}
+
+            stage_snr = call_with_retries("stage_snr", stage_snrs, errors)
 
     # achieved TFLOP/s and %roofline from the analytic pipeline FLOP model
     # (XLA cost analysis reports 0 for Pallas custom calls; v5e bf16 peak:
@@ -255,6 +289,7 @@ def run_bench(result, errors):
         "compile_s": None if compile_s is None else round(compile_s, 1),
         "method": method,
         "snr_db_vs_fp32": None if snr_db is None else round(snr_db, 1),
+        "stage_snr_db": stage_snr,
         "achieved_tflops": round(tflops, 1),
         "pct_bf16_roofline": round(100 * tflops / 197.0, 1),
     })
