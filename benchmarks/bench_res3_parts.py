@@ -105,7 +105,7 @@ def main():
         return x + 1e-3 * y2[..., : x.shape[-1]]
 
     def body_post_cur(x):
-        return x + 1e-3 * _post_conv(params["post"], x)
+        return x + 1e-3 * _post_conv(params["post"], x).astype(x.dtype)
 
     def body_post_mm(x):
         from voicefixer_tpu.ops.conv import reflection_pad1d
@@ -132,12 +132,38 @@ def main():
                          mask_t_total=t_res3, fold_offset=off, fold_ch=ch)
         return x + 1e-3 * unfold(out)
 
+    from voicefixer_tpu.kernels.resstack import up_res_stack
+
+    def body_fused_up3res3(x):
+        y = up_res_stack(stage3["up"], res_p, x, 3, 3,
+                         cfg.leaky_slope_res,
+                         final_slope=cfg.leaky_slope_act, matmul_dtype=mdt)
+        assert y is not None, "fused up3+res3 ineligible"
+        y2 = y[:, : x.shape[1] * 3, :].reshape(
+            x.shape[0], x.shape[1], -1)[..., : x.shape[-1]]
+        return x + 1e-3 * y2
+
+    stage2 = params["stages"][2]
+    t_in2 = t_res3 // 9
+    x256 = rnd((1, t_in2, 256))
+
+    def body_fused_up2res2(x):
+        y = up_res_stack(stage2["up"], stage2["res"], x, 3, 3,
+                         cfg.leaky_slope_res,
+                         final_slope=cfg.leaky_slope_act, matmul_dtype=mdt)
+        assert y is not None, "fused up2+res2 ineligible"
+        y2 = y[:, : x.shape[1] * 3, :].reshape(
+            x.shape[0], x.shape[1], -1)[..., : x.shape[-1]]
+        return x + 1e-3 * y2
+
     rows = [
         ("res3_full", body_full, x64),
         ("res3_manual_foldstream", body_manual, x64),
         ("res3_fold_glue", body_glue, x64),
         ("res3_stream_only", body_stream, xf0),
         ("up3_full", body_up3, x128),
+        ("fused_up3res3", body_fused_up3res3, x128),
+        ("fused_up2res2", body_fused_up2res2, x256),
         ("post_current", body_post_cur, x64),
         ("post_matmul", body_post_mm, x64),
     ]

@@ -292,6 +292,74 @@ def test_stft_mel_kernel_matches_ops_path(n):
                                rtol=1e-4, atol=1e-5)
 
 
+def _stage_reference(up, res_params, x, scale, dils, slope=0.2,
+                     final_slope=0.3):
+    """Plain-jax (UpsampleNet -> ResStack -> LeakyReLU) stage reference."""
+    from voicefixer_tpu.ops.conv import conv1d, conv_transpose1d, leaky_relu
+    a = x + jnp.sin(x)
+    y = conv_transpose1d(a, up["w"], up["b"], stride=scale,
+                         padding=scale // 2 + scale % 2,
+                         output_padding=scale % 2)
+    for p, d in zip(res_params, dils):
+        h = leaky_relu(y, slope)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, slope)
+        y = y + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+    return leaky_relu(y, final_slope)
+
+
+def _stage_params(key, cin, cout, scale, depth):
+    keys = jax.random.split(key, depth * 4 + 2)
+    up = {"w": _rand(keys[-1], (2 * scale, cin, cout), 0.05),
+          "b": _rand(keys[-2], (cout,), 0.05)}
+    res = [{"c1": {"w": _rand(keys[4 * i], (3, cout, cout), 0.05),
+                   "b": _rand(keys[4 * i + 1], (cout,), 0.05)},
+            "c2": {"w": _rand(keys[4 * i + 2], (3, cout, cout), 0.05),
+                   "b": _rand(keys[4 * i + 3], (cout,), 0.05)}}
+           for i in range(depth)]
+    return up, res
+
+
+def test_up_res_stream_plain_matches_stage():
+    """Fused upsample+ResStack kernel (Cout=128, no fold) == the separate
+    conv_transpose + ResStack + stage-LeakyReLU reference, across tile
+    boundaries and both signal edges."""
+    from voicefixer_tpu.kernels.resstack import up_res_stack
+
+    cin, cout, scale, depth = 128, 128, 3, 3
+    dils = tuple(3 ** i for i in range(depth))
+    up, res = _stage_params(jax.random.PRNGKey(21), cin, cout, scale, depth)
+    x = _rand(jax.random.PRNGKey(22), (2, 70, cin))
+
+    ref = _stage_reference(up, res, x, scale, dils)
+    got = up_res_stack(up, res, x, scale, 3, 0.2, final_slope=0.3,
+                       interpret=True)
+    assert got is not None and got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_up_res_stream_fold_matches_stage():
+    """Fused kernel in time-folded Cout=64 mode == the separate reference:
+    the fold seam, both halves' masking offsets, and the upsample's
+    polyphase alignment all compose."""
+    from voicefixer_tpu.kernels.resstack import up_res_stack
+
+    cin, cout, scale, depth = 128, 64, 3, 2
+    dils = tuple(3 ** i for i in range(depth))
+    up, res = _stage_params(jax.random.PRNGKey(23), cin, cout, scale, depth)
+    # t_out = 480: even, half=240 (mult of 3), reach=24 -> off=216>0,
+    # t_out >= 8*reach
+    x = _rand(jax.random.PRNGKey(24), (1, 160, cin))
+
+    ref = _stage_reference(up, res, x, scale, dils)
+    got = up_res_stack(up, res, x, scale, 3, 0.2, final_slope=0.3,
+                       interpret=True)
+    assert got is not None and got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("dils", [(1, 3, 9), (1, 3, 9, 27)])
 def test_res_stream_matches_blocks(dils):
     """Streaming ring-buffer kernel == sequential single blocks, including

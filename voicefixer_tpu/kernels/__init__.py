@@ -6,14 +6,36 @@ VMEM residency beats what XLA emits from the plain jax path in
 `voicefixer_tpu.ops`:
 
 - kernels.gru      — full GRU recurrence VMEM-resident (the one serial op)
-- kernels.resstack — fused dilated residual block (lrelu→conv→lrelu→conv→+x)
+- kernels.resstack — chained dilated residual groups + dispatch
+- kernels.resstream— streaming whole-stack ResStack (+ fused upsample)
 - kernels.upsample — fused x+sin(x) + polyphase transposed conv
+- kernels.convblock— fused U-Net ConvBlockRes (bn+lrelu+conv x2 + residual)
 - kernels.stft     — fused frame/window/DFT/|.| (+ optional mel projection)
 
 Every kernel has a jax reference implementation in `ops/` and a parity test
 (tests/test_kernels.py, interpret mode on CPU; exact on TPU). Dispatch is
 opt-out: the model code routes through `kernels.enabled()` which is true on
 TPU backends unless VF_TPU_NO_PALLAS is set.
+
+Vocoder ResStack dispatch matrix (production 30 s chunk, bf16; winners
+measured on v5e by benchmarks/bench_vocoder_stages.py +
+bench_res3_parts.py, r3-r4):
+
+| stage | shape            | path (why) |
+|-------|------------------|------------|
+| res0  | C=512, T~21k     | resstack.plan_chain groups; dil>=729 singles
+|       |                  | fall back to XLA conv (VMEM can't hold a
+|       |                  | C=512 chained tile at those dilations) |
+| res1  | C=256, T~147k    | resstack.plan_chain (streaming's C=256
+|       |                  | weight bank + rings alone blow VMEM) |
+| up2+res2 | 256->C=128, T~442k | resstream.up_res_stream fused (plain) |
+| up3+res3 | 128->C=64, T~1.33M | resstream.up_res_stream fused, lane-
+|       |                  | folded halves (res_fold layout) |
+
+The unfused entry points (upsample.upsample, resstack.res_stack with its
+stream_ok/_res_fold routing) remain both as the fallback for shapes the
+fused path rejects and as the sequence-parallel building blocks
+(parallel.sp drives stages shard-locally with mask_bounds).
 """
 
 from __future__ import annotations

@@ -132,9 +132,58 @@ def _block_kernel(x_hbm, s1_ref, w1_ref, s2_ref, w2_ref, sc_ref, out_ref,
 def conv_block_res(x, params, slope: float, matmul_dtype=jnp.float32,
                    tm: int = 2048, interpret: bool = False):
     """Fused ConvBlockRes on NHWC input x [B, T, F, Cin] (eval mode with
-    pre-folded BN). Drop-in for models.resunet._conv_block_res."""
+    pre-folded BN). Drop-in for models.resunet._conv_block_res.
+
+    Channels below a full lane (the 32/64-ch early U-Net levels, where
+    XLA's conv runs ~7 TF/s) are zero-padded to 128 here: Mosaic rejects
+    non-128 lane extents in the HBM<->VMEM copies, and padded channels stay
+    exactly zero through scale/shift (zero pads), lrelu, conv (zero weight
+    rows/cols), and the residual. The dense-128 matmul wastes
+    (128/ci)x(128/co) MACs but still beats the lane-starved XLA conv on
+    these levels (bench_resunet_levels.py)."""
     bsz, t, f, ci = x.shape
     co = params["conv1"]["w"].shape[-1]
+    if ci < 128 or co < 128:
+        pi, po = 128 - ci, 128 - co
+
+        def padw(w):  # [3, 3, ci, co] -> [3, 3, 128, 128]
+            return jnp.pad(w, ((0, 0), (0, 0), (0, max(pi, 0)),
+                               (0, max(po, 0))))
+
+        def padv(v, n):
+            return jnp.pad(v, ((0, 0),) * (v.ndim - 1) + ((0, n),))
+
+        pp = {
+            "conv1": {"w": padw(params["conv1"]["w"])},
+            "conv2": {"w": jnp.pad(params["conv2"]["w"],
+                                   ((0, 0), (0, 0), (0, max(po, 0)),
+                                    (0, max(po, 0))))},
+            "bn1": {"scale": padv(params["bn1"]["scale"].reshape(1, -1),
+                                  max(pi, 0))[0],
+                    "shift": padv(params["bn1"]["shift"].reshape(1, -1),
+                                  max(pi, 0))[0]},
+            "bn2": {"scale": padv(params["bn2"]["scale"].reshape(1, -1),
+                                  max(po, 0))[0],
+                    "shift": padv(params["bn2"]["shift"].reshape(1, -1),
+                                  max(po, 0))[0]},
+        }
+        if "shortcut" in params:
+            pp["shortcut"] = {
+                "w": jnp.pad(params["shortcut"]["w"],
+                             ((0, 0), (0, 0), (0, max(pi, 0)),
+                              (0, max(po, 0)))),
+                "b": padv(params["shortcut"]["b"].reshape(1, -1),
+                          max(po, 0))[0]}
+        elif pi:
+            # identity residual with ci < co is impossible in the model
+            # (shortcut exists whenever ci != co); ci == co < 128 keeps
+            # the identity exact through the zero-padded lanes
+            pass
+        out = conv_block_res(jnp.pad(x, ((0, 0), (0, 0), (0, 0),
+                                         (0, max(pi, 0)))),
+                             pp, slope, matmul_dtype=matmul_dtype, tm=tm,
+                             interpret=interpret)
+        return out[..., :co]
     fp = _ceil8(f + 1)
     l_total = t * fp
 
@@ -212,12 +261,12 @@ def eligible(params, x, training: bool) -> bool:
     ci, co = w1.shape[2], w1.shape[3]
     if co > 128 or ci > 128:
         return False  # wide levels: XLA's conv is already fine there
-    if ci % 128 or co % 128:
-        # Mosaic (current libtpu) rejects HBM->VMEM DMA slices whose lane
-        # (channel) extent is not 128-aligned: "Slice shape along dimension
-        # 2 must be aligned to tiling (128)". Narrow levels route to the
-        # folded MXU conv in ops.conv instead (measured on-device r3).
-        return False
+    if ci < 128 and ci != co and "shortcut" not in params:
+        return False  # identity residual can't lane-pad across widths
+    # channels below a full lane are zero-padded to 128 by the wrapper
+    # (Mosaic rejects non-128 lane extents in HBM<->VMEM copies); the
+    # VMEM/cost model therefore sees 128x128
+    ci = co = 128
     bsz, t, f, _ = x.shape
     fp = _ceil8(f + 1)
     if t * fp < 8 * (2 * fp + 16):

@@ -27,6 +27,7 @@ pads the conv *input*, and the next chained block consumes y as its input.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -438,6 +439,85 @@ def _res_fold(params: list, x: jnp.ndarray, dils: tuple, slope: float,
                        fold_offset=off, fold_ch=ch)
     return jnp.concatenate(
         [xf[:, :half, :ch], xf[:, reach: reach + half, ch:]], axis=1)
+
+
+def up_res_stack(up_params: dict, res_params: list, x_src: jnp.ndarray,
+                 scale: int, kernel: int, slope: float,
+                 final_slope=None, matmul_dtype=jnp.float32,
+                 interpret: bool = False):
+    """Fused (UpsampleNet -> ResStack -> stage LeakyReLU) through ONE
+    streaming kernel (kernels.resstream.up_res_stream): the full-rate
+    upsampled signal never exists in HBM. Returns the [B, T_in*scale, Cout]
+    stage output, or None when the stage pair is ineligible (the caller
+    falls back to the separate upsample + res_stack path).
+
+    Eligible: k=3 stacks, Cin % 128 == 0, Cout in {128, 64}; Cout == 64
+    takes the time-folded layout (same math as _res_fold) and needs the
+    fold split/offset polyphase-aligned — off % scale == 0, guaranteed for
+    the production pipeline where T/2 is a multiple of 441."""
+    if kernel != 3:
+        return None
+    from voicefixer_tpu.kernels.resstream import up_res_stream, up_stream_ok
+    w_up = up_params["w"]
+    k, cin, cout = w_up.shape
+    if k != 2 * scale:
+        return None
+    bsz, t_in, _ = x_src.shape
+    t_out = t_in * scale
+    dils = tuple(3 ** (i % 10) for i in range(len(res_params)))
+    isz = jnp.dtype(x_src.dtype).itemsize
+    wsz = jnp.dtype(matmul_dtype).itemsize
+
+    if cout == LANE:
+        if not up_stream_ok(cin, cout, scale, dils, t_out, isz, wsz,
+                            interpret):
+            return None
+        out = up_res_stream(
+            x_src, w_up, up_params["b"],
+            jnp.stack([p["c1"]["w"] for p in res_params]),
+            jnp.stack([p["c1"]["b"] for p in res_params]),
+            jnp.stack([p["c2"]["w"] for p in res_params]),
+            jnp.stack([p["c2"]["b"] for p in res_params]),
+            dils=dils, scale=scale, t_out=t_out,
+            slope=slope, final_slope=final_slope,
+            matmul_dtype=matmul_dtype, interpret=interpret)
+        return out
+
+    if cout * 2 == LANE:
+        # the fold split and reach are aligned to 8*scale so both lane
+        # halves' source DMAs share ONE sublane residue — Mosaic cannot
+        # concatenate values with mismatched sublane offsets (and the
+        # split needs polyphase alignment anyway). The halves may be
+        # slightly unequal; position masking covers the difference.
+        align = 8 * scale
+        reach = -(-(sum(d + 1 for d in dils) + 8) // align) * align
+        len_a = (t_out // 2) // align * align  # lane-A keeps [0, len_a)
+        off = len_a - reach                    # lane-B carries x[off:]
+        len_b = t_out - len_a                  # lane-B keeps [reach, ...)
+        if len_a <= 0 or off <= 0 or t_out < 8 * reach:
+            return None
+        t_arr = max(len_a + reach, t_out - off)
+        if not up_stream_ok(cin, cout, scale, dils, t_arr, isz, wsz,
+                            interpret):
+            return None
+        xf = up_res_stream(
+            x_src, w_up, up_params["b"],
+            jnp.stack([_bdiag(p["c1"]["w"], cout, cout)
+                       for p in res_params]),
+            jnp.stack([jnp.concatenate([p["c1"]["b"]] * 2)
+                       for p in res_params]),
+            jnp.stack([_bdiag(p["c2"]["w"], cout, cout)
+                       for p in res_params]),
+            jnp.stack([jnp.concatenate([p["c2"]["b"]] * 2)
+                       for p in res_params]),
+            dils=dils, scale=scale, t_out=t_out,
+            fold=(len_a, off, reach),
+            slope=slope, final_slope=final_slope,
+            matmul_dtype=matmul_dtype, interpret=interpret)
+        return jnp.concatenate(
+            [xf[:, :len_a, :cout], xf[:, reach: reach + len_b, cout:]],
+            axis=1)
+    return None
 
 
 def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,

@@ -47,12 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def stream_lag(dils) -> int:
+def stream_lag(dils, align: int = 8) -> int:
     """Total output lag = tile length: sum of per-block lags (d_i + 8).
     All production dilations are odd and the depth is even, so the sum is
-    8-aligned; odd test configs get rounded up via the last block's lag."""
+    8-aligned; odd test configs get rounded up via the last block's lag.
+    The up-fused variant passes align = lcm(8, scale) so every tile start
+    is polyphase-group aligned."""
     lag = sum(d + 8 for d in dils)
-    return -(-lag // 8) * 8
+    return -(-lag // align) * align
 
 
 # the model underestimates Mosaic's real stack by ~10% (measured r3:
@@ -82,45 +84,82 @@ def _stream_kernel(*refs, tt: int,
                    t_total: int, t_arr: int, slope: float, final_slope,
                    acc_dtype, double_buffer: bool,
                    fold_offset: int | None, fold_ch: int,
-                   dyn_bounds: bool):
+                   dyn_bounds: bool,
+                   up_scale: int | None = None, up_pad: int = 0,
+                   up_lead: int = 0, up_halves: tuple = (0,)):
+    """When up_scale is set, the kernel's input x_hbm is the PRE-UPSAMPLE
+    signal [B, T_in(padded), Cin] and a fused transposed-conv stage
+    (kernels.upsample math: a = x + sin(x); z[q*s + rho] = a[q] @ W_lo[rho]
+    + a[q-1] @ W_hi[rho]; out[n] = z[n + up_pad]) produces each fresh tile
+    in VMEM — the full-rate upsampled signal never exists in HBM, which
+    also kills the fold-mode pad/concat glue (each lane half's tile is
+    upsampled straight from its own source window, up_halves holding the
+    per-half global row offsets)."""
+    n_up = len(up_halves) if up_scale else 0
     if dyn_bounds:
-        (x_hbm, bounds_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-         dma_s, fbuf_s, slab_s, hist_s, sem) = refs
+        (x_hbm, bounds_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         *up_refs, out_ref, dma_s, fbuf_s, slab_s, hist_s, sem) = refs
     else:
-        (x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-         dma_s, fbuf_s, slab_s, hist_s, sem) = refs
+        (x_hbm, w1_ref, b1_ref, w2_ref, b2_ref,
+         *up_refs, out_ref, dma_s, fbuf_s, slab_s, hist_s, sem) = refs
         bounds_ref = None
+    wup_ref, bup_ref = (up_refs[0], up_refs[1]) if up_scale else (None, None)
     b_idx = pl.program_id(0)
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
     ch = fbuf_s.shape[1]
 
-    # x_hbm is padded to n_steps tiles (one zero tile beyond the last input
-    # tile), so every step can copy unconditionally — the flush step reads
-    # zeros, which position masking discards anyway.
-    def copy_in(j, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[b_idx, pl.ds(j * tt, tt), :],
-            dma_s.at[slot], sem.at[slot])
+    # x_hbm is padded beyond the last input tile, so every step can copy
+    # unconditionally — the flush step reads zeros, which position masking
+    # discards anyway.
+    if up_scale:
+        # Mosaic requires DMA row starts AND extents 8-aligned. The first
+        # needed source row is q_start = const_h + j*(tt/s) with
+        # const_h = lead + off_h/s - 1 (off_h, tt multiples of s; tt/s a
+        # multiple of 8 by the lcm(8, s) tile alignment): round const_h
+        # down to the tiling and keep the static residue `extra_h` to
+        # offset reads inside the buffer.
+        g_need = tt // up_scale + 2  # groups q0-1 .. q0 + tt/s
+        g_in = -(-(g_need + 7) // 8) * 8
+
+        def copy_in(j, slot):
+            copies = []
+            for h, off_h in enumerate(up_halves):
+                const_h = up_lead + off_h // up_scale - 1
+                start8 = const_h - const_h % 8 + j * (tt // up_scale)
+                copies.append(pltpu.make_async_copy(
+                    x_hbm.at[b_idx, pl.ds(start8, g_in), :],
+                    dma_s.at[slot, h], sem.at[slot]))
+            return copies
+    else:
+        def copy_in(j, slot):
+            return [pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(j * tt, tt), :],
+                dma_s.at[slot], sem.at[slot])]
 
     if double_buffer:
         slot = jax.lax.rem(step, 2)
 
         @pl.when(step == 0)
         def _():
-            copy_in(0, 0).start()
+            for c in copy_in(0, 0):
+                c.start()
 
         @pl.when(step + 1 < n_steps)
         def _():
-            copy_in(step + 1, 1 - slot).start()
+            for c in copy_in(step + 1, 1 - slot):
+                c.start()
 
-        copy_in(step, slot).wait()
+        for c in copy_in(step, slot):
+            c.wait()
     else:
         # interpret mode: pl.when branches cannot hold DMA primitives on
         # the CPU interpreter — use a blocking copy.
         slot = 0
-        copy_in(step, 0).start()
-        copy_in(step, 0).wait()
+        for c in copy_in(step, 0):
+            c.start()
+        for c in copy_in(step, 0):
+            c.wait()
 
     prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -148,6 +187,38 @@ def _stream_kernel(*refs, tt: int,
             ok = ok & (pos >= bounds_ref[0]) & (pos < bounds_ref[1])
         return jnp.where(ok, val, 0.0)
 
+    if up_scale:
+        # fused upsample: produce this step's fresh [tt, ch] tile from the
+        # slow-rate source. Out row r (global off_h + base + r) = z row
+        # (global + up_pad); with off_h and tt multiples of s the first
+        # group is q0 = (off_h + base)/s and the in-tile shift is static:
+        # up_pad % s. Source zero padding makes a = x + sin(x) exactly zero
+        # outside the signal, so no masking is needed here — downstream
+        # position masks handle the tail rows.
+        g_out = tt // up_scale + 1
+        shift = up_pad % up_scale
+        cin = dma_s.shape[-1]
+        # activated source, halves lane-concatenated: [g_out+1, n_up*cin]
+        avs = []
+        for h in range(n_up):
+            extra_h = (up_lead + up_halves[h] // up_scale - 1) % 8
+            xv = dma_s[slot, h, extra_h: extra_h + g_out + 1].astype(
+                jnp.float32)
+            avs.append((xv + jnp.sin(xv)).astype(acc_dtype))
+        a = avs[0] if n_up == 1 else jnp.concatenate(avs, axis=-1)
+        kk = n_up * cin
+        # one K-concatenated matmul pair produces z with columns packed
+        # (phase, half, channel): its row-major reshape to [g*s, 128] IS
+        # the (plain or fold-lane) fresh layout — no 64-lane shape casts,
+        # which Mosaic cannot lower
+        z = (jnp.dot(a[1: 1 + g_out], wup_ref[0, :kk], precision=prec,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(a[0: g_out], wup_ref[0, kk:], precision=prec,
+                       preferred_element_type=jnp.float32)
+             + bup_ref[0])  # [g_out, s*128]
+        flat = z.reshape(g_out * up_scale, ch)
+        fresh = flat[shift: shift + tt].astype(fbuf_s.dtype)
+
     # base position of the current input tile; each block's coordinates
     # hang off it at static offsets
     base = step * tt
@@ -165,7 +236,8 @@ def _stream_kernel(*refs, tt: int,
         # which it is dead and block i may overwrite it with its own y)
         slab_s[pl.ds(0, hist_rows), :] = hist_s[pl.ds(h0, hist_rows), :]
         if i == 0:
-            slab_s[pl.ds(hist_rows, tt), :] = dma_s[slot]
+            slab_s[pl.ds(hist_rows, tt), :] = (fresh if up_scale
+                                               else dma_s[slot])
         else:
             slab_s[pl.ds(hist_rows, tt), :] = fbuf_s[:]
         # save the next step's history BEFORE any in-place math
@@ -299,3 +371,186 @@ def res_stream(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
     )(x_p, *bargs, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
       _stack_w(w2s, matmul_dtype), b2s.reshape(n, 1, ch))
     return out[:, :t_total, :]
+
+
+def _lcm8(s: int) -> int:
+    import math
+    return 8 * s // math.gcd(8, s)
+
+
+def up_stream_vmem_bytes(cin: int, cout: int, scale: int, dils,
+                         isz: int, wsz: int) -> int:
+    """VMEM footprint model for the up-fused streaming kernel: the plain
+    model minus the full-rate dma double buffer, plus the slow-rate source
+    buffers, the upsample weight bank, and the up-block transients (fp32
+    source copy + activated copy + fp32 z + the assembled fresh tile)."""
+    ch = 128
+    n_up = 2 if cout * 2 == ch else 1
+    tt = stream_lag(dils, align=_lcm8(scale))
+    g_in = -(-(tt // scale + 9) // 8) * 8
+    base = stream_vmem_bytes(ch, dils, isz, wsz)
+    base -= 2 * tt * ch * isz                      # dropped full-rate dma
+    base += 2 * n_up * g_in * cin * isz            # slow-rate dma buffers
+    kk = n_up * cin
+    base += (2 * kk * scale * ch + scale * ch) * wsz        # up weights
+    # up-block transients (fp32 source copy, activated copy, fp32 z, fresh
+    # tile) die before the widest ResStack block computes, so they only
+    # count where they EXCEED the block transient already in `base`
+    up_trans = (n_up * g_in * cin * 4 + g_in * kk * wsz
+                + (tt // scale + 1) * scale * ch * 4 + tt * ch * isz)
+    block_trans = ((tt + 16) * ch * wsz + (tt + 16) * ch * 4
+                   + tt * ch * wsz + tt * ch * 4)
+    return base + max(0, up_trans - block_trans)
+
+
+def up_stream_ok(cin: int, cout: int, scale: int, dils, t_arr: int,
+                 isz: int = 2, wsz: int = 2,
+                 interpret: bool = False) -> bool:
+    """Route an (UpsampleNet, ResStack) stage pair through the fused
+    kernel? Needs a lane-aligned source, a 128-lane (or foldable 64-lane)
+    stack, tile starts that stay polyphase-aligned, and the VMEM fit."""
+    import os
+    if os.environ.get("VF_TPU_NO_PALLAS_UPRES"):
+        return False
+    ch = 128
+    if cin % ch or cout not in (ch, ch // 2):
+        return False
+    tt = stream_lag(dils, align=_lcm8(scale))
+    if t_arr < 2 * tt:
+        return False
+    return interpret or (up_stream_vmem_bytes(cin, cout, scale, dils,
+                                              isz, wsz)
+                         <= VMEM_BUDGET_STREAM)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dils", "scale", "t_out", "fold", "slope", "final_slope",
+    "matmul_dtype", "interpret"))
+def up_res_stream(x_src: jnp.ndarray, w_up, b_up, w1s, b1s, w2s, b2s,
+                  dils: tuple, scale: int, t_out: int,
+                  fold: tuple | None = None,
+                  slope: float = 0.2, final_slope=None,
+                  matmul_dtype=jnp.float32, interpret: bool = False):
+    """Fused UpsampleNet + whole ResStack in one streaming kernel.
+
+    x_src: [B, T_in, Cin] (Cin % 128 == 0) — the PRE-upsample activation;
+    w_up: [2s, Cin, Cout] torch tap order (kernels.upsample layout);
+    t_out = T_in * scale. w1s/b1s/w2s/b2s as res_stream, at the kernel's
+    lane width (128): plain mode passes Cout == 128 weights; fold mode
+    (fold = (half, off, reach), Cout == 64, off and tt multiples of scale)
+    passes block-diagonal 128-lane weights and returns the FOLDED
+    [B, half + 2*reach, 128] array — lanes 0:64 rows r carry out[r], lanes
+    64:128 carry out[off + r] — for the caller to unfold. The full-rate
+    upsampled signal never touches HBM (VERDICT r3 next-2: the fold-mode
+    pad/concat glue and the standalone upsample kernel's padded-cout
+    writes were the late-vocoder bandwidth sinks)."""
+    bsz, t_in, cin = x_src.shape
+    ch = 128
+    k = w_up.shape[0]
+    assert k == 2 * scale and cin % ch == 0
+    cout = w_up.shape[2]
+    align = _lcm8(scale)
+    tt = stream_lag(dils, align=align)
+    lags = [d + 8 for d in dils]
+    lags[-1] += tt - sum(lags)
+    hist_rows = [lag + d + 8 for lag, d in zip(lags, dils)]
+    hist_off, acc = [], 0
+    for rows in hist_rows:
+        hist_off.append(acc)
+        acc += rows
+    max_slab = tt + max(hist_rows)
+
+    if fold is None:
+        assert cout == ch
+        halves = (0,)
+        t_arr = t_out
+        fold_offset = None
+        fold_ch = cout
+    else:
+        len_a, off, reach = fold
+        # off must keep both halves' DMA sublane residues equal (the
+        # kernel lane-concatenates the halves) and polyphase-aligned
+        assert cout * 2 == ch and off == len_a - reach
+        assert off % scale == 0 and (off // scale) % 8 == 0
+        halves = (0, off)
+        t_arr = max(len_a + reach, t_out - off)
+        fold_offset = off
+        fold_ch = cout
+
+    n_in = pl.cdiv(t_arr, tt)
+    t_pad = n_in * tt
+    # 8-aligned DMA row extent, with room for the per-half start-alignment
+    # residue (kernel: start8 = const_h - const_h % 8)
+    g_in = -(-(tt // scale + 9) // 8) * 8
+    # source padding: `lead` zero rows cover q0-1 at step 0; the tail
+    # covers the largest flush-step read (contents are masked regardless,
+    # but the DMA must stay in bounds)
+    lead = 8
+    need = max((lead + off_h // scale - 1) // 8 * 8
+               + (n_in + 1) * (tt // scale) + g_in
+               for off_h in halves)
+    x_p = jnp.pad(x_src, ((0, 0), (lead, max(0, need - t_in - lead)),
+                          (0, 0)))
+
+    # pack to [1, 2K, s*128], K = n_halves*Cin: rows 0:K lo taps
+    # (multiplying a[q]), K:2K hi taps (a[q-1]); columns (phase, half,
+    # channel)-major so the kernel's [g, s*128] -> [g*s, 128] row-major
+    # reshape lands each phase row in the (plain or fold-lane) layout.
+    # Fold mode block-diagonalizes over halves: rows 0:Cin feed lanes
+    # 0:64 (half A), rows Cin:2Cin feed lanes 64:128 (half B).
+    if fold is None:
+        w_eff, b_eff = w_up, b_up
+    else:
+        w_eff = jnp.zeros((k, 2 * cin, ch), w_up.dtype)
+        w_eff = w_eff.at[:, :cin, :cout].set(w_up)
+        w_eff = w_eff.at[:, cin:, cout:].set(w_up)
+        b_eff = jnp.concatenate([b_up, b_up])
+    kk = w_eff.shape[1]
+    wb = w_eff.reshape(2, scale, kk, 1, ch).transpose(3, 0, 2, 1, 4)
+    wk = wb.reshape(1, 2 * kk, scale * ch).astype(matmul_dtype)
+    bk = jnp.tile(b_eff.reshape(1, 1, ch), (1, 1, scale))
+
+    n = len(dils)
+    kernel = functools.partial(
+        _stream_kernel, tt=tt, dils=tuple(dils), lags=tuple(lags),
+        hist_off=tuple(hist_off),
+        t_total=t_out, t_arr=t_arr,
+        slope=slope, final_slope=final_slope, acc_dtype=matmul_dtype,
+        double_buffer=not interpret,
+        fold_offset=fold_offset, fold_ch=fold_ch,
+        dyn_bounds=False,
+        up_scale=scale, up_pad=scale // 2 + scale % 2,
+        up_lead=lead, up_halves=halves)
+    wspec = [
+        pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 3 * ch, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 1, ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2 * kk, scale * ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, scale * ch), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_in + 1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspec,
+        out_specs=pl.BlockSpec(
+            (1, tt, ch), lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x_src.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, len(halves), g_in, cin), x_src.dtype),
+            pltpu.VMEM((tt, ch), x_src.dtype),           # inter-block tile
+            pltpu.VMEM((max_slab, ch), x_src.dtype),     # shared slab
+            pltpu.VMEM((acc, ch), x_src.dtype),          # history rings
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_p, _stack_w(w1s, matmul_dtype), b1s.reshape(n, 1, ch),
+      _stack_w(w2s, matmul_dtype), b2s.reshape(n, 1, ch), wk, bk)
+    return out[:, :t_arr, :]

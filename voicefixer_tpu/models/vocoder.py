@@ -140,6 +140,11 @@ def apply(params: dict, mel: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
     x = conv1d(reflection_pad1d(x, 3), params["pre"]["w"], params["pre"]["b"])
     x = constrain_channels(leaky_relu(x, cfg.leaky_slope_act))
     for i, stage in enumerate(params["stages"]):
+        fused = _up_res_stage(stage, x, cfg.upsample_scales[i],
+                              cfg.resstack_kernel[i], cfg)
+        if fused is not None:
+            x = constrain_channels(fused)
+            continue
         x = constrain_channels(
             _upsample(stage["up"], x, cfg.upsample_scales[i]))
         x, activated = _res_stack(stage["res"], x, cfg.resstack_kernel[i],
@@ -149,6 +154,24 @@ def apply(params: dict, mel: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
             x = leaky_relu(x, cfg.leaky_slope_act)
         x = constrain_channels(x)
     return _post_conv(params["post"], x).astype(mel.dtype)
+
+
+def _up_res_stage(stage: dict, x: jnp.ndarray, scale: int, kernel: int,
+                  cfg: VocoderConfig):
+    """Dispatch one (UpsampleNet, ResStack, LeakyReLU) stage to the fused
+    streaming kernel (kernels.resstack.up_res_stack) when eligible; None
+    falls back to the separate paths. The fused kernel keeps the full-rate
+    upsampled signal out of HBM entirely — measured r4 motivation: the
+    standalone up3 kernel + the C=64 fold glue cost ~7.5 ms of the 30 s
+    chunk's 69.6 ms against <1.5 ms of roofline."""
+    from voicefixer_tpu import kernels
+    if not (kernels.use("resstack") and kernels.use("upsample")):
+        return None
+    from voicefixer_tpu.kernels.resstack import up_res_stack
+    return up_res_stack(stage["up"], stage["res"], x, scale, kernel,
+                        cfg.leaky_slope_res,
+                        final_slope=cfg.leaky_slope_act,
+                        matmul_dtype=kernels.matmul_dtype())
 
 
 def init(key, cfg: VocoderConfig, dtype=jnp.float32) -> dict:
