@@ -252,11 +252,15 @@ def run_bench(result, errors):
         snr_db = call_with_retries("snr", snr, errors)
 
         if not os.environ.get("BENCH_SKIP_STAGE_SNR"):
+            # a 2 s chunk keeps the four extra stage compiles cheap; the
+            # budgets themselves are asserted in tests/test_snr_budget.py
+            wav_s = wav[: 2 * cfg.pipeline.sample_rate]
+
             def stage_snrs():
                 def mel_one():
                     return jax.jit(functools.partial(
                         analysis_model.restore_mel, cfg=cfg))(
-                            params, wav[None])
+                            params, wav_s[None])
                 mel_p = mel_one()
                 with precision("highest"):
                     mel_r = mel_one()
