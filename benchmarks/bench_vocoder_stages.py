@@ -89,7 +89,7 @@ def main():
         rows.append((f"res{i}_c{co}_t{t}", body_res, rnd((1, t, co))))
 
     def body_post(x):
-        return x + 1e-3 * _post_conv(params["post"], x)
+        return x + (1e-3 * _post_conv(params["post"], x)).astype(x.dtype)
 
     rows.append(("post_conv", body_post, rnd((1, t, ch // 16))))
 

@@ -62,20 +62,38 @@ def stream_lag(dils, align: int = 8) -> int:
 # headroom under the 16 MB hardware limit
 VMEM_BUDGET_STREAM = 15_500_000
 
+# whole-slab activation (one lrelu pass shared by all three conv1 taps) is
+# used while the slab is at most this many rows beyond the tile; larger
+# slabs (huge-dilation blocks) activate per tap slice to bound the
+# transient's VMEM cost — per-tap costs 3*(tt+16) activated rows vs
+# s_rows once, so the cutover only wastes VPU where s_rows > 3*(tt+16)
+# anyway, which never happens for the production dilation ladders
+ACT_SLAB_EXTRA = 2048
+
+
+def _trans_bytes(ch: int, tt: int, hist_rows_i: int, wsz: int) -> int:
+    """Peak per-block transients: the activated slab (or one tap slice),
+    fp32 h, the (conservatively fold-width, acc-dtype) row mask, activated
+    h, fp32 y."""
+    wh = tt + 16
+    s_rows = tt + hist_rows_i
+    act_rows = s_rows if s_rows <= tt + ACT_SLAB_EXTRA else wh
+    return (act_rows * ch * wsz + wh * ch * 4 + wh * ch * wsz
+            + wh * ch * wsz + tt * ch * 4)
+
 
 def stream_vmem_bytes(ch: int, dils, isz: int, wsz: int) -> int:
     """VMEM footprint model for the streaming kernel: persistent buffers
     (dma double buffer, inter-block tile, shared slab, history rings,
     double-buffered out block), the stacked weight banks, and the per-block
-    transients (activated tap slice, fp32 h, activated h slice, fp32 y)."""
+    transients (_trans_bytes)."""
     tt = stream_lag(dils)
     hist_rows = [2 * d + 16 for d in dils]
     hist_rows[-1] += tt - sum(d + 8 for d in dils)
-    buffers = (2 * tt + tt + (tt + max(hist_rows)) + sum(hist_rows)
-               + 2 * tt) * ch * isz
+    buffers = ((2 * tt + (tt + max(hist_rows)) + sum(hist_rows)
+                + 2 * tt) * ch * isz)
     weights = len(dils) * 2 * (3 * ch * ch + ch) * wsz
-    trans = ((tt + 16) * ch * wsz + (tt + 16) * ch * 4
-             + tt * ch * wsz + tt * ch * 4)
+    trans = max(_trans_bytes(ch, tt, hr, wsz) for hr in hist_rows)
     return buffers + weights + trans
 
 
@@ -88,26 +106,27 @@ def _stream_kernel(*refs, tt: int,
                    up_scale: int | None = None, up_pad: int = 0,
                    up_lead: int = 0, up_halves: tuple = (0,)):
     """When up_scale is set, the kernel's input x_hbm is the PRE-UPSAMPLE
-    signal [B, T_in(padded), Cin] and a fused transposed-conv stage
-    (kernels.upsample math: a = x + sin(x); z[q*s + rho] = a[q] @ W_lo[rho]
-    + a[q-1] @ W_hi[rho]; out[n] = z[n + up_pad]) produces each fresh tile
-    in VMEM — the full-rate upsampled signal never exists in HBM, which
-    also kills the fold-mode pad/concat glue (each lane half's tile is
-    upsampled straight from its own source window, up_halves holding the
-    per-half global row offsets)."""
+    signal [B, T_in(padded), Cin], already activated by the caller
+    (a = x + sin(x)), and a fused transposed-conv stage (kernels.upsample
+    math: z[q*s + rho] = a[q] @ W_lo[rho] + a[q-1] @ W_hi[rho];
+    out[n] = z[n + up_pad]) produces each fresh tile in VMEM — the
+    full-rate upsampled signal never exists in HBM, which also kills the
+    fold-mode pad/concat glue (each lane half's tile is upsampled straight
+    from its own source window, up_halves holding the per-half global row
+    offsets)."""
     n_up = len(up_halves) if up_scale else 0
     if dyn_bounds:
         (x_hbm, bounds_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         *up_refs, out_ref, dma_s, fbuf_s, slab_s, hist_s, sem) = refs
+         *up_refs, out_ref, dma_s, slab_s, hist_s, sem) = refs
     else:
         (x_hbm, w1_ref, b1_ref, w2_ref, b2_ref,
-         *up_refs, out_ref, dma_s, fbuf_s, slab_s, hist_s, sem) = refs
+         *up_refs, out_ref, dma_s, slab_s, hist_s, sem) = refs
         bounds_ref = None
     wup_ref, bup_ref = (up_refs[0], up_refs[1]) if up_scale else (None, None)
     b_idx = pl.program_id(0)
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
-    ch = fbuf_s.shape[1]
+    ch = slab_s.shape[1]
 
     # x_hbm is padded beyond the last input tile, so every step can copy
     # unconditionally — the flush step reads zeros, which position masking
@@ -161,31 +180,53 @@ def _stream_kernel(*refs, tt: int,
         for c in copy_in(step, 0):
             c.wait()
 
+    # Zero-invariant: every out-of-signal slab row is EXACTLY zero, so the
+    # conv taps need no per-value masking (the r3 kernel's dominant VPU
+    # cost — lrelu + a 7-op position mask recomputed per tap slice made the
+    # C<=128 stages VPU-bound at ~35 TF/s while the MXU sat idle). The
+    # invariant holds by induction: history rings start zeroed here, the
+    # fresh input tile is masked once where it can carry out-of-signal
+    # values, and every block's y is masked before it re-enters the chain.
+    @pl.when(step == 0)
+    def _():
+        hist_s[...] = jnp.zeros_like(hist_s)
+
     prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
-    def pos_mask(rows, row0, val):
-        """Zero `val` outside BOTH the array rows [0, t_arr) and the true
-        signal [0, t_total). The array-row test kills the streaming
-        artifacts (uninitialized history at the left edge, the flush step's
-        stale input) — essential in fold mode, where lane half B's signal
-        positions are shifted by fold_offset and would otherwise make
-        garbage history rows look in-signal. The signal-position test is
-        the conv zero-'same' padding semantics."""
+    # mask dtype: 0/1 (and the -1..1 fold combination) are exact in bf16,
+    # and the acc-width mask halves the fold-mode transient's VMEM cost
+    mdt = acc_dtype
+    if fold_offset is not None:
+        lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+                   >= fold_ch).astype(mdt)
+
+    def row_mask(rows, row0):
+        """0/1 mask for `rows` array rows starting at global array row
+        row0: the r3 per-value ok test ((arow in [0, t_arr)) & (pos in
+        [0, t_total)) & traced bounds) computed once per ROW on a (rows, 1)
+        iota — the array-row test kills the streaming artifacts the zero
+        invariant doesn't cover (bias-fed h rows at the left edge / flush
+        step), the position test is the conv zero-'same' padding. Fold mode
+        combines the two lane halves' row masks with one fused broadcast
+        instead of a full-width lane iota + where chain. Applied by a
+        single multiply (mask values are exactly 0/1)."""
         arow = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        ok = (arow >= 0) & (arow < t_arr)
+
+        def half(off):
+            pos = arow + off
+            ok = (arow >= 0) & (arow < t_arr) & (pos >= 0) & (pos < t_total)
+            if bounds_ref is not None:
+                # traced signal bounds in array coordinates (sequence-
+                # parallel shards: the true signal window within the
+                # halo'd local array)
+                ok = ok & (pos >= bounds_ref[0]) & (pos < bounds_ref[1])
+            return ok.astype(mdt)
+
+        ma = half(0)
         if fold_offset is None:
-            pos = arow
-        else:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, val.shape[-1]),
-                                            1)
-            pos = arow + jnp.where(lane >= fold_ch, fold_offset, 0)
-        ok = ok & (pos >= 0) & (pos < t_total)
-        if bounds_ref is not None:
-            # traced signal bounds in array coordinates (sequence-parallel
-            # shards: the true signal window within the halo'd local array)
-            ok = ok & (pos >= bounds_ref[0]) & (pos < bounds_ref[1])
-        return jnp.where(ok, val, 0.0)
+            return ma
+        return ma + lane_hi * (half(fold_offset) - ma)
 
     if up_scale:
         # fused upsample: produce this step's fresh [tt, ch] tile from the
@@ -198,30 +239,42 @@ def _stream_kernel(*refs, tt: int,
         g_out = tt // up_scale + 1
         shift = up_pad % up_scale
         cin = dma_s.shape[-1]
-        # activated source, halves lane-concatenated: [g_out+1, n_up*cin]
+        # source slices, halves lane-concatenated: [g_out+1, n_up*cin].
+        # The caller pre-applies a = x + sin(x) at the slow rate (one cheap
+        # XLA pass) — in-kernel fp32 sin on every step's source window was
+        # a measured multi-ms VPU sink for zero fusion benefit.
         avs = []
         for h in range(n_up):
             extra_h = (up_lead + up_halves[h] // up_scale - 1) % 8
-            xv = dma_s[slot, h, extra_h: extra_h + g_out + 1].astype(
-                jnp.float32)
-            avs.append((xv + jnp.sin(xv)).astype(acc_dtype))
+            avs.append(dma_s[slot, h, extra_h: extra_h + g_out + 1].astype(
+                acc_dtype))
         a = avs[0] if n_up == 1 else jnp.concatenate(avs, axis=-1)
         kk = n_up * cin
         # one K-concatenated matmul pair produces z with columns packed
         # (phase, half, channel): its row-major reshape to [g*s, 128] IS
         # the (plain or fold-lane) fresh layout — no 64-lane shape casts,
-        # which Mosaic cannot lower
+        # which Mosaic cannot lower. The cast to the slab dtype happens
+        # BEFORE the reshape: the (s*128 -> 128)-lane relayout moves half
+        # the bytes that way.
         z = (jnp.dot(a[1: 1 + g_out], wup_ref[0, :kk], precision=prec,
                      preferred_element_type=jnp.float32)
              + jnp.dot(a[0: g_out], wup_ref[0, kk:], precision=prec,
                        preferred_element_type=jnp.float32)
              + bup_ref[0])  # [g_out, s*128]
-        flat = z.reshape(g_out * up_scale, ch)
-        fresh = flat[shift: shift + tt].astype(fbuf_s.dtype)
+        flat = z.astype(slab_s.dtype).reshape(g_out * up_scale, ch)
+        fresh = flat[shift: shift + tt]
 
     # base position of the current input tile; each block's coordinates
     # hang off it at static offsets
     base = step * tt
+    # The fresh tile is masked once IF it can carry out-of-signal values:
+    # the fused upsample's z = a@W + b_up has the bias everywhere, and
+    # sequence-parallel halos hold real neighbor data. The plain paths'
+    # inputs are zero-padded in HBM already (res_stream pads x_p; the fold
+    # caller pads each half), so the invariant holds for free there.
+    need_in_mask = (up_scale is not None) or (bounds_ref is not None)
+    if need_in_mask:
+        m_in = row_mask(tt, base)
     cum = 0  # cumulative lag before block i
     for i, d in enumerate(dils):
         lag = lags[i]
@@ -231,53 +284,71 @@ def _stream_kernel(*refs, tt: int,
         cum += lag
         a0 = base - cum                  # first output row of this block
 
-        # assemble the slab: history then this step's fresh tile (fbuf_s is
-        # a SINGLE buffer: block i consumes it into the slab here, after
-        # which it is dead and block i may overwrite it with its own y)
+        # assemble the slab: history, then this step's fresh tile. Block
+        # i > 0's fresh region was already written by block i-1's epilogue
+        # (its y goes straight into this block's slab slot — no inter-block
+        # buffer, no extra VMEM copy), so only the history rows move here.
         slab_s[pl.ds(0, hist_rows), :] = hist_s[pl.ds(h0, hist_rows), :]
         if i == 0:
-            slab_s[pl.ds(hist_rows, tt), :] = (fresh if up_scale
-                                               else dma_s[slot])
-        else:
-            slab_s[pl.ds(hist_rows, tt), :] = fbuf_s[:]
+            fin = fresh if up_scale else dma_s[slot]
+            if need_in_mask:
+                fin = (fin.astype(jnp.float32) * m_in).astype(slab_s.dtype)
+            slab_s[pl.ds(hist_rows, tt), :] = fin
         # save the next step's history BEFORE any in-place math
         hist_s[pl.ds(h0, hist_rows), :] = slab_s[pl.ds(tt, hist_rows), :]
 
         # conv1 (k3 dilation d): h rows cover [a0 - 8, a0 + tt + 8);
         # tap j of h row r reads slab row r + j*d (slab row 0 is global
-        # a0 - d - 8). lrelu+mask are recomputed per tap slice to avoid
-        # materializing the activated slab (VMEM, not FLOPs, is scarce).
+        # a0 - d - 8). The zero invariant means taps need no masking, and
+        # one lrelu pass over the slab serves all three taps (per tap only
+        # for huge-dilation slabs, where the activated copy's VMEM cost
+        # outweighs the saved VPU work).
         wh = tt + 16
+        m = row_mask(wh, a0 - 8)
+        if s_rows <= tt + ACT_SLAB_EXTRA:
+            s32 = slab_s[pl.ds(0, s_rows), :].astype(jnp.float32)
+            act = jnp.where(s32 > 0, s32, slope * s32).astype(acc_dtype)
+            taps = [act[j * d: j * d + wh] for j in range(3)]
+        else:
+            def _tap(j, d=d):
+                x32 = slab_s[pl.ds(j * d, wh), :].astype(jnp.float32)
+                return jnp.where(x32 > 0, x32,
+                                 slope * x32).astype(acc_dtype)
+            taps = [_tap(j) for j in range(3)]
         h = None
         for j in range(3):
-            x32 = slab_s[pl.ds(j * d, wh), :].astype(jnp.float32)
-            av = pos_mask(wh, a0 - 8 + (j - 1) * d,
-                          jnp.where(x32 > 0, x32, slope * x32)
-                          ).astype(acc_dtype)
-            dot = jnp.dot(av, w1_ref[i, pl.ds(j * ch, ch), :],
+            dot = jnp.dot(taps[j], w1_ref[i, pl.ds(j * ch, ch), :],
                           precision=prec,
                           preferred_element_type=jnp.float32)
             h = dot if h is None else h + dot
-        h = pos_mask(wh, a0 - 8, h + b1_ref[i])
+        # conv2's 'same' zero padding pads its INPUT lrelu(h): one lrelu
+        # pass + one multiply by the 0/1 row mask (== the r3 select chain,
+        # since lrelu(0) == 0)
+        hb = ((lambda v: jnp.where(v > 0, v, slope * v))(h + b1_ref[i])
+              * m).astype(acc_dtype)
 
         # conv2 (k3 dilation 1) + residual over [a0, a0 + tt)
         y = None
         for j in range(3):
-            hs = h[7 + j: 7 + j + tt]
-            hb = jnp.where(hs > 0, hs, slope * hs).astype(acc_dtype)
-            dot = jnp.dot(hb, w2_ref[i, pl.ds(j * ch, ch), :],
+            dot = jnp.dot(hb[7 + j: 7 + j + tt],
+                          w2_ref[i, pl.ds(j * ch, ch), :],
                           precision=prec,
                           preferred_element_type=jnp.float32)
             y = dot if y is None else y + dot
-        y = y + b2_ref[i] + slab_s[pl.ds(d + 8, tt), :].astype(jnp.float32)
-        y = pos_mask(tt, a0, y)
+        y = (y + b2_ref[i]
+             + slab_s[pl.ds(d + 8, tt), :].astype(jnp.float32)) * m[8: 8 + tt]
 
         if i + 1 < len(dils):
-            fbuf_s[:] = y.astype(fbuf_s.dtype)
+            # block i+1's slab = [its history | y]: place y at its fresh
+            # offset now (all of block i's slab reads are done; the next
+            # iteration only fills rows [0, its hist_rows) on top)
+            nh = lags[i + 1] + dils[i + 1] + 8
+            slab_s[pl.ds(nh, tt), :] = y.astype(slab_s.dtype)
         else:
             if final_slope is not None:
                 # stage-final activation folded into the epilogue
-                # (generator.py:94: LeakyReLU after every ResStack)
+                # (generator.py:94: LeakyReLU after every ResStack);
+                # lrelu(0) == 0 keeps the already-applied mask intact
                 y = jnp.where(y > 0, y, final_slope * y)
             out_ref[0, :, :] = y.astype(out_ref.dtype)
 
@@ -362,7 +433,6 @@ def res_stream(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tt, ch), x.dtype),            # dma double buffer
-            pltpu.VMEM((tt, ch), x.dtype),               # inter-block tile
             pltpu.VMEM((max_slab, ch), x.dtype),         # shared slab
             pltpu.VMEM((acc, ch), x.dtype),              # history rings
             pltpu.SemaphoreType.DMA((2,)),
@@ -398,8 +468,10 @@ def up_stream_vmem_bytes(cin: int, cout: int, scale: int, dils,
     # count where they EXCEED the block transient already in `base`
     up_trans = (n_up * g_in * cin * 4 + g_in * kk * wsz
                 + (tt // scale + 1) * scale * ch * 4 + tt * ch * isz)
-    block_trans = ((tt + 16) * ch * wsz + (tt + 16) * ch * 4
-                   + tt * ch * wsz + tt * ch * 4)
+    hist_rows = [2 * d + 16 for d in dils]
+    hist_rows[-1] += stream_lag(dils) - sum(d + 8 for d in dils)
+    block_trans = max(_trans_bytes(ch, stream_lag(dils), hr, wsz)
+                      for hr in hist_rows)
     return base + max(0, up_trans - block_trans)
 
 
@@ -489,7 +561,12 @@ def up_res_stream(x_src: jnp.ndarray, w_up, b_up, w1s, b1s, w2s, b2s,
     need = max((lead + off_h // scale - 1) // 8 * 8
                + (n_in + 1) * (tt // scale) + g_in
                for off_h in halves)
-    x_p = jnp.pad(x_src, ((0, 0), (lead, max(0, need - t_in - lead)),
+    # pre-activate a = x + sin(x) at the slow rate (fp32 math, exactly the
+    # in-kernel computation it replaces; sin(0) = 0 keeps the zero padding
+    # exact) — one XLA pass here beats per-step fp32 sin on the VPU
+    x32 = x_src.astype(jnp.float32)
+    x_act = (x32 + jnp.sin(x32)).astype(x_src.dtype)
+    x_p = jnp.pad(x_act, ((0, 0), (lead, max(0, need - t_in - lead)),
                           (0, 0)))
 
     # pack to [1, 2K, s*128], K = n_halves*Cin: rows 0:K lo taps
@@ -545,7 +622,6 @@ def up_res_stream(x_src: jnp.ndarray, w_up, b_up, w1s, b1s, w2s, b2s,
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x_src.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, len(halves), g_in, cin), x_src.dtype),
-            pltpu.VMEM((tt, ch), x_src.dtype),           # inter-block tile
             pltpu.VMEM((max_slab, ch), x_src.dtype),     # shared slab
             pltpu.VMEM((acc, ch), x_src.dtype),          # history rings
             pltpu.SemaphoreType.DMA((2,)),
