@@ -1,0 +1,87 @@
+"""Production-shape kernel dispatch: the hot-path routing decisions are
+pure functions of (shape, dtype), so they are pinned here on CPU.
+
+Guards against the r4 regression class where a VMEM cost model drifted
+from the kernel's real allocations and silently routed every ResUNet
+level back to the XLA conv (plan_tm hardcoded tm=2048 and costed the x9
+slab at fp32 while the kernel allocates it at matmul dtype).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voicefixer_tpu.config import DEFAULT_CONFIG
+from voicefixer_tpu.kernels import convblock, resstack
+from voicefixer_tpu.kernels.resstream import up_stream_ok
+from voicefixer_tpu.models import resunet
+from voicefixer_tpu.ops.conv import fold_bn_eval
+from voicefixer_tpu.ops.precision import set_precision
+
+
+@pytest.fixture(scope="module")
+def unet_params():
+    cfg = DEFAULT_CONFIG.unet
+    p = fold_bn_eval(resunet.init(jax.random.PRNGKey(0), cfg))
+    return jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+
+
+def _level_shapes():
+    """(name, params key path, [T, F, Cin]) per production U-Net level on
+    the 30 s chunk (t_mel 3001 -> T padded to 3008, F = 127)."""
+    cfg = DEFAULT_CONFIG.unet
+    t_mel = int(30 * DEFAULT_CONFIG.pipeline.sample_rate) // 441 + 1
+    t = -(-t_mel // cfg.downsample_ratio) * cfg.downsample_ratio
+    rows = []
+    h, w = t, 127
+    for i, co in enumerate(cfg.encoder_channels):
+        rows.append((f"enc{i + 1}", co, (h, w, co)))
+        h, w = h // 2, w // 2
+    h = t // 2 ** (cfg.levels - 1)
+    w = max(127 // 2 ** (cfg.levels - 1), 1)
+    for i, co in enumerate(reversed(cfg.encoder_channels)):
+        rows.append((f"dec{i + 1}", co, (h, w, 2 * co)))
+        h, w = h * 2, w * 2
+    return rows
+
+
+def test_convblock_plan_production_bf16(unet_params):
+    """Narrow levels (C <= 128) take the fused Pallas kernel; wide deep
+    levels are left to the im2col GEMM path."""
+    set_precision("default")
+    try:
+        got = {}
+        for name, co, (h, w, ci) in _level_shapes():
+            p = unet_params[name]["block2"]
+            x = jnp.zeros((1, h, w, ci), jnp.bfloat16)
+            got[name] = convblock.plan_tm(p, x, training=False)
+        for name in ("enc1", "enc2", "enc3", "dec5", "dec6"):
+            assert got[name] is not None, f"{name} lost its Pallas dispatch"
+        for name in ("enc4", "enc5", "enc6", "dec1", "dec2", "dec3", "dec4"):
+            assert got[name] is None  # wide: im2col path by design
+    finally:
+        set_precision("highest")
+
+
+def test_resunet_routes_deep_levels_to_im2col(unet_params):
+    """The deep wide levels satisfy the _conv_block_res im2col gate
+    (t*f <= 20000 and ci >= 128) so none of them fall back to the
+    fragmenting lax.conv at inference."""
+    for name in ("enc4", "enc5", "enc6", "dec1", "dec2", "dec3", "dec4"):
+        h, w, ci = next(s for n, _, s in _level_shapes() if n == name)
+        assert h * w <= 20000 and ci >= 128, name
+
+
+def test_vocoder_stream_dispatch_production_bf16():
+    """The production vocoder's late stages route to the streaming kernels
+    at bf16: fused up+res for stages 2/3, stream for a pre-folded C=128
+    stack."""
+    dils = tuple(3 ** (i % 10) for i in range(8))
+    t_mel = int(30 * DEFAULT_CONFIG.pipeline.sample_rate) // 441 + 1
+    t_mel += t_mel % 2 + 4
+    t_res3 = t_mel * 441
+    assert up_stream_ok(256, 128, 3, dils, t_res3 // 3, isz=2, wsz=2)
+    assert up_stream_ok(128, 64, 3, dils, t_res3 // 2 + 4000, isz=2, wsz=2)
+    assert resstack.stream_ok(128, dils, t_res3 // 2 + 4000, isz=2, wsz=2)
+    # fp32 parity path must stay on the chained planner (VMEM)
+    assert not resstack.stream_ok(128, dils, t_res3, isz=4, wsz=4)

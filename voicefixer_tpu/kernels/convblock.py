@@ -249,20 +249,29 @@ def conv_block_res(x, params, slope: float, matmul_dtype=jnp.float32,
     return out[:, :l_total, :].reshape(bsz, t, fp, co)[:, :, :f, :]
 
 
-def eligible(params, x, training: bool) -> bool:
-    """Dispatch guard: eval-mode folded BN, 3x3 convs, channels that fit
-    the VMEM plan, and enough rows to amortize the halo."""
+def plan_tm(params, x, training: bool) -> int | None:
+    """Dispatch plan: eval-mode folded BN, 3x3 convs, channels that fit the
+    VMEM model, enough rows to amortize the halo. Returns the largest
+    feasible time tile (rows of the flattened (T, F) stream), or None when
+    the block must take the jax path.
+
+    The VMEM model mirrors conv_block_res's actual allocations — the bf16
+    production path halves both the input stream and the x9 im2col slab vs
+    the fp32 parity path, which is what makes the large-fp shallow levels
+    (fp = 128 at enc1/dec6) fit at all. (r4 regression fix: the old guard
+    hardcoded tm = 2048 and costed x9 at 4 bytes, so NO production level
+    ever dispatched to this kernel.)"""
     if training or "scale" not in params.get("bn1", {}):
-        return False
+        return None
     w1 = params["conv1"]["w"]
     w2 = params["conv2"]["w"]
     if w1.shape[:2] != (3, 3) or w2.shape[:2] != (3, 3):
-        return False
+        return None
     ci, co = w1.shape[2], w1.shape[3]
     if co > 128 or ci > 128:
-        return False  # wide levels: XLA's conv is already fine there
+        return None  # wide levels: the im2col GEMM path serves those
     if ci < 128 and ci != co and "shortcut" not in params:
-        return False  # identity residual can't lane-pad across widths
+        return None  # identity residual can't lane-pad across widths
     # channels below a full lane are zero-padded to 128 by the wrapper
     # (Mosaic rejects non-128 lane extents in HBM<->VMEM copies); the
     # VMEM/cost model therefore sees 128x128
@@ -270,10 +279,24 @@ def eligible(params, x, training: bool) -> bool:
     bsz, t, f, _ = x.shape
     fp = _ceil8(f + 1)
     if t * fp < 8 * (2 * fp + 16):
-        return False
-    # VMEM estimate at tm=2048: stream + x9 + transients
-    tm = 2048
-    need = (2 * (tm + 2 * (2 * fp + 16)) * ci * 2
-            + (tm + 2 * (fp + 8)) * 9 * max(ci, co) * 4
-            + (tm + 2 * (fp + 8)) * co * 4 * 2 + 2 * tm * co * 4)
-    return need <= VMEM_BUDGET
+        return None
+    from voicefixer_tpu import kernels
+    isz = jnp.dtype(x.dtype).itemsize
+    wsz = jnp.dtype(kernels.matmul_dtype()).itemsize
+    for tm in (2048, 1024, 512):
+        if tm < fp:
+            continue
+        need = (2 * (tm + 2 * (2 * fp + 16)) * ci * isz      # input stream
+                + (tm + 2 * (fp + 8)) * 9 * max(ci, co) * wsz  # x9 slab
+                + (tm + 2 * (fp + 8)) * co * 4                 # fp32 h1
+                + (tm + 2 * (fp + 8)) * co * wsz               # h1 act copy
+                + 2 * tm * co * 4)                    # fp32 h2 + residual
+        if need <= VMEM_BUDGET:
+            return tm
+    return None
+
+
+def eligible(params, x, training: bool) -> bool:
+    """True when plan_tm finds a feasible tile (kept for callers/tests that
+    only need the boolean)."""
+    return plan_tm(params, x, training) is not None

@@ -21,7 +21,8 @@ import numpy as np
 
 from voicefixer_tpu.config import ResUNetConfig
 from voicefixer_tpu.ops.conv import (avg_pool2d, batch_norm, conv2d,
-                                     conv_transpose2d, leaky_relu)
+                                     conv2d_3x3_gemm, conv_transpose2d,
+                                     leaky_relu)
 
 
 def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
@@ -34,14 +35,29 @@ def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
     from voicefixer_tpu import kernels
     if kernels.use("convblock"):
         from voicefixer_tpu.kernels import convblock
-        if convblock.eligible(params, x, training):
+        tm = convblock.plan_tm(params, x, training)
+        if tm is not None:
             return convblock.conv_block_res(
-                x, params, slope, matmul_dtype=kernels.matmul_dtype())
+                x, params, slope, matmul_dtype=kernels.matmul_dtype(),
+                tm=tm)
+    # deep levels (tiny spatial, wide channels — ineligible for the fused
+    # kernel because co > 128): lax.conv fragments on the 3-15-row freq
+    # axis (~2 TF/s measured at [94, 3] x 768); the im2col GEMM doesn't.
+    # The spatial gate keeps the 9x tap copy off the big shallow levels.
+    w1 = params["conv1"]["w"]
+    t_, f_ = x.shape[1], x.shape[2]
+    if (not training and w1.shape[:2] == (3, 3) and t_ * f_ <= 20000
+            and x.shape[-1] >= 128):
+        def c3(h, w):
+            return conv2d_3x3_gemm(h, w)
+    else:
+        def c3(h, w):
+            return conv2d(h, w, padding=(1, 1))
     origin = x
     h = batch_norm(x, params["bn1"], training)
-    h = conv2d(leaky_relu(h, slope), params["conv1"]["w"], padding=(1, 1))
+    h = c3(leaky_relu(h, slope), params["conv1"]["w"])
     h = batch_norm(h, params["bn2"], training)
-    h = conv2d(leaky_relu(h, slope), params["conv2"]["w"], padding=(1, 1))
+    h = c3(leaky_relu(h, slope), params["conv2"]["w"])
     if "shortcut" in params:
         return conv2d(origin, params["shortcut"]["w"],
                       params["shortcut"]["b"]) + h

@@ -144,6 +144,31 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray,
     return y
 
 
+def conv2d_3x3_gemm(x: jnp.ndarray, w: jnp.ndarray,
+                    b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """3x3 'same' conv as one im2col GEMM: concat the 9 shifted taps along
+    channels and contract K = 9*Cin in a single matmul.
+
+    Same math as conv2d(x, w, b, padding=(1, 1)). Exists for the U-Net's
+    DEEP levels — tiny spatial extents with wide channels (e.g. [94, 3] x
+    768 -> 384, restorer/model_kqq_bn.py decoder head), where
+    lax.conv_general_dilated's NHWC tiling fragments on the 3-15-row freq
+    axis and measures ~2 TF/s on v5e, while this single [T*F, 9C] x
+    [9C, Co] GEMM tiles straight onto the MXU. The 9x activation copy is
+    noise at those shapes; callers gate on spatial size."""
+    bsz, t, f, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x9 = jnp.concatenate([xp[:, dt: dt + t, df: df + f, :]
+                          for dt in range(3) for df in range(3)], axis=-1)
+    y = jnp.einsum("btfk,kc->btfc", x9, w.reshape(9 * ci, co),
+                   precision=get_precision(),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def avg_pool2d(x: jnp.ndarray, window=(2, 2)) -> jnp.ndarray:
     """torch F.avg_pool2d(kernel=window) on NHWC (floor mode == VALID)."""
     y = lax.reduce_window(
