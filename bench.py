@@ -20,8 +20,11 @@ Resilience: the tunnel's remote-compile endpoint fails transiently
 ("response body closed", connection resets). Round 2's official artifact
 was lost to exactly one such error, so every compile/run here is wrapped in
 retry-with-backoff, the K-pair degrades (8,4) -> (4,2) -> single-program
-estimate, and the JSON line is ALWAYS emitted (exit 0) with whatever was
-measured plus an `errors` field listing what was retried or skipped.
+estimate, and the JSON line is ALWAYS emitted with whatever was measured
+plus an `errors` field listing what was retried or skipped. The only
+nonzero exit is a fidelity-guard breach: a MEASURED TPU-path SNR below the
+floors (e2e >= 35 dB, stages >= 34/36 dB) fails the run so the driver
+records a precision regression instead of a narration of one.
 
 The reference publishes no numbers (SURVEY.md 6); its per-file wall-clock
 print (/root/reference/voicefixer/__main__.py:23-27) is the closest artifact.
@@ -139,6 +142,29 @@ def measure(make_prog, run, errors, k_pairs=((4, 8), (2, 4)), best_of=3):
     return None, None, "none", compile_s
 
 
+# TPU-path fidelity floors (the CPU-path pytest budgets in
+# tests/test_snr_budget.py are the localizing layer; these make the bench
+# itself FAIL — exit nonzero — on a Pallas-path precision regression
+# instead of narrating it, VERDICT r4 next-4)
+SNR_FLOOR_E2E = 35.0
+SNR_FLOOR_STAGE = {"analysis_mel": 34.0, "vocoder": 36.0}
+
+
+def guard_failures(result) -> list:
+    """Fidelity-floor breaches in a measured result (empty = pass). A
+    missing SNR (skipped / transient failure) is NOT a breach — resilience
+    keeps the artifact flowing; a MEASURED value below floor is."""
+    guard = []
+    snr = result.get("snr_db_vs_fp32")
+    if snr is not None and snr < SNR_FLOOR_E2E:
+        guard.append(f"e2e SNR {snr} dB < {SNR_FLOOR_E2E} dB floor")
+    for name, floor in SNR_FLOOR_STAGE.items():
+        got = (result.get("stage_snr_db") or {}).get(name)
+        if got is not None and got < floor:
+            guard.append(f"stage {name} SNR {got} dB < {floor} dB floor")
+    return guard
+
+
 def main():
     errors: list[str] = []
     result = {
@@ -155,10 +181,15 @@ def main():
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
         errors.append(f"fatal: {type(e).__name__}: {str(e)[:200]}")
 
+    guard = guard_failures(result)
+    if guard:
+        result["guard_failures"] = guard
+        for g in guard:
+            print(f"bench: GUARD FAILURE: {g}", file=sys.stderr)
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
-    return 0
+    return 1 if guard else 0
 
 
 def run_bench(result, errors):
@@ -278,6 +309,33 @@ def run_bench(result, errors):
 
             stage_snr = call_with_retries("stage_snr", stage_snrs, errors)
 
+    # wall-clock steady-state throughput: N independent single-chunk
+    # dispatches enqueued back-to-back through jax's async dispatch, timed
+    # host-side to the last block. This is what a single-stream client
+    # actually sees (device time + however much per-chunk host/tunnel work
+    # fails to pipeline under device work) — reported next to the K-diff
+    # device number so neither hides the other (VERDICT r4 next-3).
+    wall_value = None
+    if not os.environ.get("BENCH_SKIP_WALL"):
+        import functools
+
+        fn = jax.jit(functools.partial(restore_segment, cfg=cfg))
+
+        def steady(n_chunks=8):
+            out, _ = fn(params, vocoder_params, wav)   # warm the jit cache
+            jax.block_until_ready(out)
+            ins = [wav * (1 + 1e-4 * i) for i in range(n_chunks)]
+            jax.block_until_ready(ins)
+            t0 = time.perf_counter()
+            outs = [fn(params, vocoder_params, w)[0] for w in ins]
+            jax.block_until_ready(outs)
+            return n_chunks * seconds / (time.perf_counter() - t0)
+
+        walls = [w for w in (call_with_retries("wall", steady, errors,
+                                               retries=2)
+                             for _ in range(3)) if w is not None]
+        wall_value = max(walls) if walls else None
+
     # achieved TFLOP/s and %roofline from the analytic pipeline FLOP model
     # (XLA cost analysis reports 0 for Pallas custom calls; v5e bf16 peak:
     # 197 TFLOP/s)
@@ -290,6 +348,8 @@ def run_bench(result, errors):
         "vs_baseline": round(value / 10.0, 3),
         "device_ms_per_chunk": round(device_s * 1e3, 2),
         "dispatch_ms": None if dispatch_ms is None else round(dispatch_ms, 2),
+        "wall_clock_audio_s_per_s": None if wall_value is None
+        else round(wall_value, 2),
         "compile_s": None if compile_s is None else round(compile_s, 1),
         "method": method,
         "snr_db_vs_fp32": None if snr_db is None else round(snr_db, 1),
@@ -297,6 +357,61 @@ def run_bench(result, errors):
         "achieved_tflops": round(tflops, 1),
         "pct_bf16_roofline": round(100 * tflops / 197.0, 1),
     })
+
+    # per-stage device-time artifact (VERDICT r4 next-2): regenerate
+    # STAGES_r{N}.json on every bench run so the analysis-vs-vocoder split
+    # and every vocoder substage are on record — a one-stage regression is
+    # visible even when the headline number hides it.
+    if not os.environ.get("BENCH_SKIP_STAGES"):
+        emit_stage_artifact(errors)
+
+
+def _round_tag() -> str:
+    """Current build round from PROGRESS.jsonl (driver-maintained);
+    default r05."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "PROGRESS.jsonl")) as f:
+            rounds = [json.loads(ln).get("round") for ln in f if ln.strip()]
+        return f"r{max(r for r in rounds if r is not None):02d}"
+    except Exception:  # noqa: BLE001 — the tag is cosmetic
+        return "r05"
+
+
+def emit_stage_artifact(errors):
+    """Run benchmarks/bench_stages.py + bench_vocoder_stages.py in
+    subprocesses (isolated so a stage failure cannot cost the headline
+    artifact) and write their device-time rows to STAGES_<round>.json."""
+    import subprocess
+    root = os.path.dirname(os.path.abspath(__file__))
+    rows = []
+    for script in ("bench_stages.py", "bench_vocoder_stages.py"):
+        def run_one(script=script):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(root, "benchmarks", script)],
+                capture_output=True, text=True, timeout=2400,
+                env=os.environ.copy(), cwd=root)
+            if proc.returncode != 0:
+                raise RuntimeError(f"{script} rc={proc.returncode}: "
+                                   f"{proc.stderr[-300:]}")
+            return [json.loads(ln) for ln in proc.stdout.splitlines()
+                    if ln.strip().startswith("{")]
+        got = call_with_retries(f"stages:{script}", run_one, errors,
+                                retries=2)
+        if got:
+            rows.extend(got)
+    if rows:
+        art = {"methodology": "chained K-diff(4,8) per stage "
+                              "(benchmarks/bench_stages.py + "
+                              "bench_vocoder_stages.py), device ms on the "
+                              "production 30 s chunk",
+               "precision": os.environ.get("BENCH_PRECISION", "default"),
+               "rows": rows}
+        path = os.path.join(root, f"STAGES_{_round_tag()}.json")
+        with open(path, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"bench: wrote {path} ({len(rows)} stage rows)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

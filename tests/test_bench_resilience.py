@@ -151,3 +151,23 @@ def test_bench_emits_json_and_exit_0_even_on_fatal_import(tmp_path):
     rec = json.loads(line)
     assert rec["metric"] == "mode0_restore_throughput"
     assert "errors" in rec
+
+
+def test_snr_guard_fails_on_measured_breach():
+    """A MEASURED SNR below floor is a guard failure (bench exits nonzero);
+    a missing SNR (skipped/transient) is not — resilience keeps the
+    artifact flowing (VERDICT r4 next-4)."""
+    ok = {"snr_db_vs_fp32": 36.9,
+          "stage_snr_db": {"analysis_mel": 38.2, "vocoder": 41.2}}
+    assert bench.guard_failures(ok) == []
+
+    low_e2e = {"snr_db_vs_fp32": 34.9, "stage_snr_db": None}
+    assert any("e2e" in g for g in bench.guard_failures(low_e2e))
+
+    low_stage = {"snr_db_vs_fp32": 36.0,
+                 "stage_snr_db": {"analysis_mel": 33.9, "vocoder": 41.2}}
+    assert any("analysis_mel" in g for g in bench.guard_failures(low_stage))
+
+    skipped = {"snr_db_vs_fp32": None, "stage_snr_db": None}
+    assert bench.guard_failures(skipped) == []
+    assert bench.guard_failures({}) == []

@@ -85,3 +85,60 @@ def test_vocoder_stream_dispatch_production_bf16():
     assert resstack.stream_ok(128, dils, t_res3 // 2 + 4000, isz=2, wsz=2)
     # fp32 parity path must stay on the chained planner (VMEM)
     assert not resstack.stream_ok(128, dils, t_res3, isz=4, wsz=4)
+
+
+def test_res0_res1_chain_plans_production_bf16():
+    """Pin the FULL production ResStack routing table (VERDICT r4 next-8):
+    res0 (C=512) chains the small dilations and runs the huge-dilation
+    singles (729, 2187) through Pallas — since r5 the shifted-tap kernel
+    serves the blocks the halo design couldn't fit, so NO block falls back
+    to XLA conv; res1 (C=256) keeps every block in Pallas. A cost-model
+    drift that knocks any block off its documented winner fails here, not
+    in bench archaeology."""
+    dils = tuple(3 ** (i % 10) for i in range(8))
+    t_mel = int(30 * DEFAULT_CONFIG.pipeline.sample_rate) // 441 + 1
+    t_mel += t_mel % 2 + 4
+    t_res0, t_res1 = t_mel * 7, t_mel * 49
+
+    res0 = resstack.plan_chain(512, dils, 2, 2, t_total=t_res0)
+    assert all(tt is not None for _, _, tt in res0), res0
+    assert res0[0][1] >= 2, f"small dilations should chain: {res0}"
+    # the dil-2187 single (XLA conv until r5) now dispatches shifted-tap
+    assert isinstance(res0[-1][2], tuple) and res0[-1][2][0] == "shift", res0
+
+    res1 = resstack.plan_chain(256, dils, 2, 2, t_total=t_res1)
+    assert all(tt is not None for _, _, tt in res1), res1
+    for _, _, tt in res1:
+        assert (tt[0] == "shift" if isinstance(tt, tuple)
+                else tt >= 512), res1
+
+
+def test_up_res_stage_dispatches_fused_production_bf16():
+    """_up_res_stage must return non-None (the fused streaming kernel) for
+    stages 2 and 3 at production shapes/dtypes. Exercised at a reduced T
+    in interpret mode so CPU CI can actually run the dispatch path; the
+    eligibility predicates for the full 30 s shapes are pinned in
+    test_vocoder_stream_dispatch_production_bf16."""
+    from voicefixer_tpu.kernels.resstack import up_res_stack
+
+    cfg = DEFAULT_CONFIG.vocoder
+    set_precision("default")
+    try:
+        for i, (cin, cout) in ((2, (256, 128)), (3, (128, 64))):
+            scale = cfg.upsample_scales[i]
+            dils = tuple(3 ** (j % 10) for j in range(cfg.resstack_depth[i]))
+            up = {"w": jnp.zeros((2 * scale, cin, cout), jnp.bfloat16),
+                  "b": jnp.zeros((cout,), jnp.bfloat16)}
+            res = [{"c1": {"w": jnp.zeros((3, cout, cout), jnp.bfloat16),
+                           "b": jnp.zeros((cout,), jnp.bfloat16)},
+                    "c2": {"w": jnp.zeros((3, cout, cout), jnp.bfloat16),
+                           "b": jnp.zeros((cout,), jnp.bfloat16)}}
+                   for _ in dils]
+            t_in = 38808 // scale  # small but >= the kernels' 2*lag floor
+            x = jnp.zeros((1, t_in, cin), jnp.bfloat16)
+            out = up_res_stack(up, res, x, scale, 3, 0.2, final_slope=0.2,
+                               matmul_dtype=jnp.bfloat16, interpret=True)
+            assert out is not None, f"stage {i} lost its fused dispatch"
+            assert out.shape == (1, t_in * scale, cout)
+    finally:
+        set_precision("highest")

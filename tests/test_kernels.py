@@ -229,7 +229,8 @@ def test_res_fold_matches_plain():
 @pytest.mark.parametrize("ch", [128, 256, 512])
 def test_plan_chain_partitions(ch):
     """The DP planner must produce a contiguous partition with VMEM-feasible
-    tiles; jax fallback (tile None) only for groups no tile can fit."""
+    tiles; jax fallback (tile None) only for groups NO kernel (chained or
+    shifted-tap) can fit."""
     from voicefixer_tpu.kernels import resstack
     dils = tuple(3 ** (i % 10) for i in range(8))
     for t_total in (21000, 1323000):
@@ -243,9 +244,71 @@ def test_plan_chain_partitions(ch):
                 assert all(resstack.chain_vmem_bytes(
                     ch, dils[a:b], t, 2, 2) > resstack.VMEM_BUDGET
                     for t in (256, 512, 1024, 2048, 4096, 8192))
+                assert all(resstack.shift_vmem_bytes(ch, t, 2, 2)
+                           > resstack.VMEM_BUDGET
+                           for t in (256, 512, 1024, 2048, 4096, 8192))
+            elif isinstance(tt, tuple):
+                assert tt[0] == "shift" and b - a == 1
+                assert resstack.shift_vmem_bytes(
+                    ch, tt[1], 2, 2) <= resstack.VMEM_BUDGET
             else:
                 assert resstack.chain_vmem_bytes(
                     ch, dils[a:b], tt, 2, 2) <= resstack.VMEM_BUDGET
+
+
+@pytest.mark.parametrize("dil,t", [(729, 3000), (2187, 2500), (81, 1000)])
+def test_res_shift_single_matches_jax_conv(dil, t):
+    """Shifted-tap single kernel == the plain conv block, including the
+    final-slope epilogue and left/right signal edges (where the row-offset
+    tap reads land in the zero padding)."""
+    from voicefixer_tpu.kernels.resstack import res_shift_single
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch = 128
+    keys = jax.random.split(jax.random.PRNGKey(11), 5)
+    w1 = _rand(keys[0], (3, ch, ch), 0.05)
+    b1 = _rand(keys[1], (ch,), 0.05)
+    w2 = _rand(keys[2], (3, ch, ch), 0.05)
+    b2 = _rand(keys[3], (ch,), 0.05)
+    x = _rand(keys[4], (2, t, ch))
+
+    h = leaky_relu(x, 0.2)
+    h = conv1d(h, w1, b1, padding=dil, dilation=dil)
+    h = leaky_relu(h, 0.2)
+    ref = leaky_relu(x + conv1d(h, w2, b2, padding=1), 0.3)
+
+    got = res_shift_single(x, w1, b1, w2, b2, dil=dil, slope=0.2,
+                           final_slope=0.3, t_tile=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_res_stack_routes_huge_dilations_through_shift(monkeypatch):
+    """A full depth-8 stack at C=128/fp32 routes its huge-dilation singles
+    (d >= 729) through the shifted-tap kernel and still matches the plain
+    jax path end to end (the in-stack composition: chained groups feed the
+    shift singles and vice versa)."""
+    from voicefixer_tpu.kernels import resstack
+    from voicefixer_tpu.models.vocoder import _res_stack
+
+    ch, t, depth = 128, 2560, 8
+    dils = tuple(3 ** (i % 10) for i in range(depth))
+    groups = resstack.plan_chain(ch, dils, 4, 4, t_total=t)
+    assert any(isinstance(tt, tuple) for _, _, tt in groups), groups
+
+    keys = jax.random.split(jax.random.PRNGKey(13), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.05)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.05),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.05)}}
+              for i in range(depth)]
+    x = _rand(keys[-1], (1, t, ch), 0.5)
+
+    ref, activated = _res_stack(params, x, 3, 0.2)
+    assert not activated  # jax path on CPU
+    got = resstack.res_stack(params, x, 3, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
 
 
 @pytest.mark.parametrize("scale,cin,cout", [(7, 64, 32), (3, 128, 64)])

@@ -23,11 +23,15 @@ bench_res3_parts.py, r3-r4):
 
 | stage | shape            | path (why) |
 |-------|------------------|------------|
-| res0  | C=512, T~21k     | resstack.plan_chain groups; dil>=729 singles
-|       |                  | fall back to XLA conv (VMEM can't hold a
-|       |                  | C=512 chained tile at those dilations) |
+| res0  | C=512, T~21k     | resstack.plan_chain: chained groups for
+|       |                  | dils 1..243; dil 729/2187 singles on the
+|       |                  | r5 shifted-tap kernel (res_shift_single —
+|       |                  | three row-offset tile reads; the halo
+|       |                  | design couldn't fit those in VMEM and had
+|       |                  | fallen back to XLA conv) |
 | res1  | C=256, T~147k    | resstack.plan_chain (streaming's C=256
-|       |                  | weight bank + rings alone blow VMEM) |
+|       |                  | weight bank + rings alone blow VMEM);
+|       |                  | dil-2187 single on the shifted-tap kernel |
 | up2+res2 | 256->C=128, T~442k | resstream.up_res_stream fused (plain) |
 | up3+res3 | 128->C=64, T~1.33M | resstream.up_res_stream fused, lane-
 |       |                  | folded halves (res_fold layout) |

@@ -287,6 +287,7 @@ def plan_tm(params, x, training: bool) -> int | None:
         if tm < fp:
             continue
         need = (2 * (tm + 2 * (2 * fp + 16)) * ci * isz      # input stream
+                + (tm + 2 * (2 * fp + 16)) * ci * wsz  # conv1 activated in
                 + (tm + 2 * (fp + 8)) * 9 * max(ci, co) * wsz  # x9 slab
                 + (tm + 2 * (fp + 8)) * co * 4                 # fp32 h1
                 + (tm + 2 * (fp + 8)) * co * wsz               # h1 act copy

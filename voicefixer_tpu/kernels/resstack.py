@@ -90,17 +90,34 @@ def _group_cost(ch: int, sub, tt: int, isz: int) -> float:
     return max(flops_tile / _PLAN_FLOPS, bytes_tile / _PLAN_BW) / tt
 
 
+def _shift_cost(ch: int, tt: int, isz: int) -> float:
+    """Roofline seconds-per-sample for the shifted-tap single kernel: three
+    tile-sized tap reads plus the output write — no d-sized halo read, no
+    compute amplification beyond the 16-row slab margin."""
+    bytes_tile = (3 * (tt + 24) + tt) * ch * isz
+    flops_tile = (tt + 16) * 12 * ch * ch
+    return max(flops_tile / _PLAN_FLOPS, bytes_tile / _PLAN_BW) / tt
+
+
 def plan_chain(ch: int, dils, isz: int, wsz: int, t_cap: int = 8192,
-               t_total: int = 200_000) -> list:
+               t_total: int = 200_000, allow_shift: bool = True) -> list:
     """Partition a dilation run into chained kernel groups by dynamic
     programming over a roofline cost model: small dilations chain (their
     halo recompute is cheap and the saved inter-block HBM round trips
     dominate), huge dilations run as singles (a single block has NO compute
-    amplification — its halo is only extra input reads). Groups that cannot
-    fit VMEM at any tile (e.g. C=512 with dil 2187) fall back to the jax
-    conv path, costed at ~4x the roofline so it is only picked when forced.
+    amplification — its halo is only extra input reads). Singles
+    additionally compete with the shifted-tap kernel (res_shift_single,
+    entry ("shift", tt)), whose three row-offset tile reads beat the
+    contiguous halo read once the dilation rivals the tile — and which
+    FITS VMEM where the halo design cannot (C=512 at dil 2187, the one
+    remaining XLA-conv fallback until r5). Groups no kernel can fit fall
+    back to the jax conv path, costed at ~4x the roofline so it is only
+    picked when forced.
 
-    Returns [(start, end, t_tile_or_None), ...] covering range(len(dils)).
+    Returns [(start, end, tile), ...] covering range(len(dils)), where
+    tile is an int (chained), ("shift", tt), or None (jax fallback).
+    allow_shift=False restricts singles to chained tiles (fold mode — the
+    shift kernel has no fold_offset masking).
     """
     n = len(dils)
     fallback_cps = 4.0 * max(12 * ch * ch / _PLAN_FLOPS,
@@ -120,6 +137,14 @@ def plan_chain(ch: int, dils, isz: int, wsz: int, t_cap: int = 8192,
                 if best is None or c < best[1]:
                     best = (tt, c)
             tt //= 2
+        if allow_shift and j == i + 1:
+            tt = t_cap
+            while tt >= 256:
+                if shift_vmem_bytes(ch, tt, isz, wsz) <= VMEM_BUDGET:
+                    c = _shift_cost(ch, tt, isz) + fixed / tt
+                    if best is None or c < best[1]:
+                        best = (("shift", tt), c)
+                tt //= 2
         return best
 
     INF = float("inf")
@@ -333,6 +358,157 @@ def res_chain(x: jnp.ndarray, w1s, b1s, w2s, b2s, dils: tuple,
     return out[:, :t_total, :]
 
 
+def shift_vmem_bytes(ch: int, tt: int, isz: int, wsz: int) -> int:
+    """VMEM footprint model for the shifted-tap single kernel: three
+    double-buffered tap reads, the weight bank, one live activated tap,
+    fp32 h, its activated cast, fp32 y, and the pipelined output."""
+    taps = 2 * 3 * (tt + 24) * ch * isz
+    wts = 2 * (3 * ch * ch + ch) * wsz
+    a = (tt + 16) * ch * wsz
+    h = (tt + 16) * ch * 4
+    hb = (tt + 16) * ch * wsz
+    y = tt * ch * 4
+    out = 2 * tt * ch * isz
+    return taps + wts + a + h + hb + y + out
+
+
+def _shift_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                  tap_s, sem, *, tt: int, d: int, pad_left: int,
+                  t_total: int, slope: float, final_slope,
+                  acc_dtype, double_buffer: bool):
+    """One huge-dilation ResStack block via three ROW-OFFSET DMA reads per
+    tile instead of one contiguous (tt + 2d)-row halo read: tap j of the
+    dilated conv reads x[t0 - 8 + (j-1)d : t0 + tt + 8 + (j-1)d], so input
+    traffic is ~3x the tile regardless of dilation — the chained kernel's
+    halo read is (tt + 2(d+8))/tt-fold, which at d = 2187 forces 256-row
+    tiles and 6-9x read amplification (or, at C = 512, does not fit VMEM
+    at all and fell back to XLA conv until r5)."""
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    n_blk = pl.num_programs(1)
+    ch = tap_s.shape[-1]
+    # 8-aligned read starts: residue is static per tap (tile starts and
+    # pad_left are 8-aligned)
+    res = [((j - 1) * d) % 8 for j in range(3)]
+
+    def copy_in(blk, slot):
+        copies = []
+        for j in range(3):
+            start = pad_left + blk * tt - 8 + (j - 1) * d - res[j]
+            copies.append(pltpu.make_async_copy(
+                x_hbm.at[b_idx, pl.ds(start, tt + 24), :],
+                tap_s.at[slot, j], sem.at[slot, j]))
+        return copies
+
+    if double_buffer:
+        slot = jax.lax.rem(t_idx, 2)
+
+        @pl.when(t_idx == 0)
+        def _():
+            for c in copy_in(0, 0):
+                c.start()
+
+        @pl.when(t_idx + 1 < n_blk)
+        def _():
+            for c in copy_in(t_idx + 1, 1 - slot):
+                c.start()
+
+        for c in copy_in(t_idx, slot):
+            c.wait()
+    else:
+        slot = 0
+        for c in copy_in(t_idx, 0):
+            c.start()
+        for c in copy_in(t_idx, 0):
+            c.wait()
+
+    prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def sig_mask(rows, row0, val):
+        pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        return jnp.where((pos >= 0) & (pos < t_total), val, 0.0)
+
+    # conv1 (k3 dilation d): h rows cover [t0 - 8, t0 + tt + 8); tap j of
+    # h row r lives at buffer row res[j] + r. HBM zero padding + lrelu(0)=0
+    # keep out-of-signal taps exactly zero, so taps need no masking; the
+    # activated tap is computed INSIDE the loop so only one (tt+16)-row
+    # slice is ever live.
+    wh = tt + 16
+    h = None
+    for j in range(3):
+        x32 = tap_s[slot, j, pl.ds(res[j], wh), :].astype(jnp.float32)
+        a = jnp.where(x32 > 0, x32, slope * x32).astype(acc_dtype)
+        dot = jnp.dot(a, w1_ref[pl.ds(j * ch, ch), :],
+                      preferred_element_type=jnp.float32, precision=prec)
+        h = dot if h is None else h + dot
+    h = sig_mask(wh, t_idx * tt - 8, h + b1_ref[0])
+    hb = jnp.where(h > 0, h, slope * h).astype(acc_dtype)
+
+    # conv2 (k3 dilation 1) + residual over [t0, t0 + tt); the residual
+    # x[t0 + r] is tap 1's buffer row r + 8 (its residue is 0)
+    y = None
+    for j in range(3):
+        dot = jnp.dot(hb[7 + j: 7 + j + tt], w2_ref[pl.ds(j * ch, ch), :],
+                      preferred_element_type=jnp.float32, precision=prec)
+        y = dot if y is None else y + dot
+    y = y + b2_ref[0] + tap_s[slot, 1, pl.ds(8, tt), :].astype(jnp.float32)
+    y = sig_mask(tt, t_idx * tt, y)
+    if final_slope is not None:
+        y = jnp.where(y > 0, y, final_slope * y)
+    out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dil", "slope", "final_slope", "t_tile", "matmul_dtype", "interpret"))
+def res_shift_single(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
+                     slope: float = 0.2, final_slope=None,
+                     t_tile: int = 1024, matmul_dtype=jnp.float32,
+                     interpret: bool = False):
+    """Single ResStack block y = x + C2(lrelu(C1(lrelu(x)))) with the
+    shifted-tap DMA layout (see _shift_kernel). x: [B, T, C] with C a
+    multiple of 128; w1/w2: [3, C, C]. Built for the huge-dilation singles
+    (d >= 729) where the contiguous-halo designs pay d-sized reads per
+    tile; reads here are tile-sized at row offsets +-d."""
+    bsz, t_total, ch = x.shape
+    assert ch % LANE == 0, "res_shift_single needs lane-padded channels"
+    tt = min(t_tile, max(8, _ceil8(t_total)))
+    n_blk = pl.cdiv(t_total, tt)
+    t_pad = n_blk * tt
+    padl = _ceil8(dil + 16)
+    x_p = jnp.pad(x, ((0, 0), (padl, padl + t_pad - t_total), (0, 0)))
+
+    kernel = functools.partial(
+        _shift_kernel, tt=tt, d=dil, pad_left=padl, t_total=t_total,
+        slope=slope, final_slope=final_slope, acc_dtype=matmul_dtype,
+        double_buffer=not interpret)
+    wspec = [
+        pl.BlockSpec((3 * ch, ch), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * ch, ch), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_blk),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspec,
+        out_specs=pl.BlockSpec((1, tt, ch), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, ch), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, tt + 24, ch), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(x_p, w1.reshape(3 * ch, ch).astype(matmul_dtype), b1.reshape(1, ch),
+      w2.reshape(3 * ch, ch).astype(matmul_dtype), b2.reshape(1, ch))
+    return out[:, :t_total, :]
+
+
 def res_block(x: jnp.ndarray, w1, b1, w2, b2, dil: int,
               slope: float = 0.2, t_tile: int = 4096,
               matmul_dtype=jnp.float32, interpret: bool = False):
@@ -424,7 +600,7 @@ def _res_fold(params: list, x: jnp.ndarray, dils: tuple, slope: float,
     isz = jnp.dtype(x.dtype).itemsize
     wsz = jnp.dtype(matmul_dtype).itemsize
     groups = plan_chain(2 * ch, dils, isz, wsz, t_cap=t_tile,
-                        t_total=xf.shape[1])
+                        t_total=xf.shape[1], allow_shift=False)
     for gi, (i0, i1, tt) in enumerate(groups):
         sub = params[i0:i1]
         last = gi == len(groups) - 1
@@ -549,7 +725,7 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
             wsz = jnp.dtype(matmul_dtype).itemsize
             folded_groups = plan_chain(
                 LANE, dils_all, isz, wsz, t_cap=t_tile,
-                t_total=x.shape[1] // 2 + 2 * reach)
+                t_total=x.shape[1] // 2 + 2 * reach, allow_shift=False)
             if all(tt is not None for _, _, tt in folded_groups):
                 return _res_fold(params, x, dils_all, slope, final_slope,
                                  t_tile, matmul_dtype, interpret, reach)
@@ -582,7 +758,10 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
         return out[..., :ch_orig] if pc else out
 
     groups = plan_chain(ch, dils, isz, wsz, t_cap=t_tile,
-                        t_total=x.shape[1])
+                        t_total=x.shape[1],
+                        # the shift kernel has no dynamic-bounds masking;
+                        # sequence-parallel shards stay on chain/XLA paths
+                        allow_shift=mask_bounds is None)
 
     def bank(sub, key1, key2):
         ws = jnp.stack([jnp.pad(p[key1][key2], ((0, 0), (0, pc), (0, pc)))
@@ -602,6 +781,24 @@ def res_stack(params: list, x: jnp.ndarray, kernel: int, slope: float,
     for gi, (i0, i1, tt) in enumerate(groups):
         sub = params[i0:i1]
         last = gi == len(groups) - 1
+        if isinstance(tt, tuple):
+            # shifted-tap single (huge dilation): three row-offset tile
+            # reads instead of a d-sized contiguous halo
+            p = sub[0]
+
+            def pw(w):
+                return jnp.pad(w, ((0, 0), (0, pc), (0, pc))) if pc else w
+
+            x = res_shift_single(
+                x, pw(p["c1"]["w"]),
+                jnp.pad(p["c1"]["b"], (0, pc)) if pc else p["c1"]["b"],
+                pw(p["c2"]["w"]),
+                jnp.pad(p["c2"]["b"], (0, pc)) if pc else p["c2"]["b"],
+                dil=dils[i0], slope=slope,
+                final_slope=final_slope if last else None,
+                t_tile=tt[1], matmul_dtype=matmul_dtype,
+                interpret=interpret)
+            continue
         if tt is None:
             # wide-channel, huge-dilation layer: plain convs (pc == 0 there)
             for k, p in enumerate(sub):

@@ -210,7 +210,12 @@ def _stream_kernel(*refs, tt: int,
         step), the position test is the conv zero-'same' padding. Fold mode
         combines the two lane halves' row masks with one fused broadcast
         instead of a full-width lane iota + where chain. Applied by a
-        single multiply (mask values are exactly 0/1)."""
+        single multiply (mask values are exactly 0/1). Kept per-block: an
+        r5 experiment that hoisted a step-wide (2tt+16, 1) half-mask pair
+        OOM'd VMEM on the real chip (the hoisted masks materialize at full
+        lane width and outlive every block's peak; Mosaic's scoped-vmem
+        allocator reported 16.28M vs the 16M limit at the d=2187 block),
+        and a mask-free measurement showed no reliable win to chase."""
         arow = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
 
         def half(off):
@@ -308,16 +313,22 @@ def _stream_kernel(*refs, tt: int,
         if s_rows <= tt + ACT_SLAB_EXTRA:
             s32 = slab_s[pl.ds(0, s_rows), :].astype(jnp.float32)
             act = jnp.where(s32 > 0, s32, slope * s32).astype(acc_dtype)
-            taps = [act[j * d: j * d + wh] for j in range(3)]
+
+            def _tap(j, d=d, act=act):
+                return act[j * d: j * d + wh]
         else:
+            # huge-dilation slabs activate per tap slice; the tap is
+            # computed INSIDE the dot loop (immediately before its dot) so
+            # only one (tt+16)-row activated slice is ever live — three
+            # simultaneous slices would put the d=2187 block ~1 MB over
+            # the 16 MB VMEM limit (_trans_bytes charges one slice)
             def _tap(j, d=d):
                 x32 = slab_s[pl.ds(j * d, wh), :].astype(jnp.float32)
                 return jnp.where(x32 > 0, x32,
                                  slope * x32).astype(acc_dtype)
-            taps = [_tap(j) for j in range(3)]
         h = None
         for j in range(3):
-            dot = jnp.dot(taps[j], w1_ref[i, pl.ds(j * ch, ch), :],
+            dot = jnp.dot(_tap(j), w1_ref[i, pl.ds(j * ch, ch), :],
                           precision=prec,
                           preferred_element_type=jnp.float32)
             h = dot if h is None else h + dot

@@ -46,8 +46,9 @@ def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
     # The spatial gate keeps the 9x tap copy off the big shallow levels.
     w1 = params["conv1"]["w"]
     t_, f_ = x.shape[1], x.shape[2]
-    if (not training and w1.shape[:2] == (3, 3) and t_ * f_ <= 20000
-            and x.shape[-1] >= 128):
+    if (not training and w1.shape[:2] == (3, 3)
+            and params["conv2"]["w"].shape[:2] == (3, 3)
+            and t_ * f_ <= 20000 and x.shape[-1] >= 128):
         def c3(h, w):
             return conv2d_3x3_gemm(h, w)
     else:
