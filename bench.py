@@ -215,7 +215,13 @@ def run_bench(result, errors):
     n = int(cfg.pipeline.sample_rate * seconds)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    params = analysis.init(k1, cfg)
+    # fold BN to (scale, shift) exactly as the serving facade does at
+    # weight-load time (pipeline.restore.VoiceFixer.__init__) — without
+    # this the bench measures a path no user runs, and r5 found a real
+    # serving regression (a kernel dispatch gated on folded BN) hiding
+    # behind exactly that gap
+    from voicefixer_tpu.ops.conv import fold_bn_eval
+    params = fold_bn_eval(analysis.init(k1, cfg))
     vocoder_params = vocoder.init(k2, cfg.vocoder)
     wav = jax.random.normal(jax.random.PRNGKey(3), (n,),
                             dtype=jnp.float32) * 0.1

@@ -46,8 +46,11 @@ def _level_shapes():
 
 
 def test_convblock_plan_production_bf16(unet_params):
-    """Narrow levels (C <= 128) take the fused Pallas kernel; wide deep
-    levels are left to the im2col GEMM path."""
+    """plan_tm stays FEASIBLE for the narrow levels (C <= 128) and rejects
+    the wide deep levels — the kernel remains available behind the
+    VF_TPU_PALLAS_CONVBLOCK opt-in, but production routing defaults to XLA
+    since r5 measured the kernel slower at every resolvable level
+    (models/resunet.py:_conv_block_res docstring has the numbers)."""
     set_precision("default")
     try:
         got = {}
@@ -56,11 +59,36 @@ def test_convblock_plan_production_bf16(unet_params):
             x = jnp.zeros((1, h, w, ci), jnp.bfloat16)
             got[name] = convblock.plan_tm(p, x, training=False)
         for name in ("enc1", "enc2", "enc3", "dec5", "dec6"):
-            assert got[name] is not None, f"{name} lost its Pallas dispatch"
+            assert got[name] is not None, f"{name} lost plan_tm feasibility"
         for name in ("enc4", "enc5", "enc6", "dec1", "dec2", "dec3", "dec4"):
             assert got[name] is None  # wide: im2col path by design
     finally:
         set_precision("highest")
+
+
+def test_convblock_production_routing_defaults_to_xla(unet_params,
+                                                     monkeypatch):
+    """The U-Net must NOT dispatch the Pallas convblock unless explicitly
+    opted in — r5's serving-path measurement found the kernel a ~13 ms/chunk
+    net loss (34.8 vs 21.9 ms folded-BN stage total), a regression that
+    had hidden behind the headline bench's unfolded params."""
+    import voicefixer_tpu.kernels as kernels
+    from voicefixer_tpu.kernels import convblock as cb
+    from voicefixer_tpu.models.resunet import _conv_block_res
+
+    monkeypatch.delenv("VF_TPU_PALLAS_CONVBLOCK", raising=False)
+    monkeypatch.setattr(kernels, "use", lambda name: True)  # fake TPU
+    called = []
+    monkeypatch.setattr(cb, "plan_tm",
+                        lambda *a, **k: called.append(1) or None)
+    x = jnp.zeros((1, 64, 31, 32), jnp.bfloat16)
+    p = unet_params["enc1"]["block2"]
+    _conv_block_res(p, x, 0.01, training=False)
+    assert not called, "convblock dispatched without the opt-in env"
+
+    monkeypatch.setenv("VF_TPU_PALLAS_CONVBLOCK", "1")
+    _conv_block_res(p, x, 0.01, training=False)
+    assert called, "opt-in env did not restore the dispatch path"
 
 
 def test_resunet_routes_deep_levels_to_im2col(unet_params):

@@ -9,7 +9,9 @@ VMEM residency beats what XLA emits from the plain jax path in
 - kernels.resstack — chained dilated residual groups + dispatch
 - kernels.resstream— streaming whole-stack ResStack (+ fused upsample)
 - kernels.upsample — fused x+sin(x) + polyphase transposed conv
-- kernels.convblock— fused U-Net ConvBlockRes (bn+lrelu+conv x2 + residual)
+- kernels.convblock— fused U-Net ConvBlockRes (bn+lrelu+conv x2 + residual).
+  OPT-IN ONLY (VF_TPU_PALLAS_CONVBLOCK=1): r5 measured XLA's implicit-GEMM
+  convs faster at every production U-Net level (models/resunet.py)
 - kernels.stft     — fused frame/window/DFT/|.| (+ optional mel projection)
 
 Every kernel has a jax reference implementation in `ops/` and a parity test

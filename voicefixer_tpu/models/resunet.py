@@ -29,11 +29,19 @@ def _conv_block_res(params: dict, x: jnp.ndarray, slope: float,
                     training: bool) -> jnp.ndarray:
     """ConvBlockRes (modules.py:7-76): two bn-lrelu-conv3x3 + residual.
 
-    Eval mode on TPU dispatches to the fused Pallas kernel
-    (kernels/convblock.py) for the narrow-channel levels where XLA's
-    native conv starves the MXU."""
+    The fused Pallas kernel (kernels/convblock.py) is OPT-IN via
+    VF_TPU_PALLAS_CONVBLOCK=1: r5 measured it slower than XLA's implicit-
+    GEMM convs at every production level large enough to resolve through
+    the dev tunnel's noise (enc1 2.92 vs 1.21 ms, enc2 0.68 vs 0.17,
+    dec6 3.34 vs 1.83; folded-BN stage total 34.8 vs 21.9 ms,
+    benchmarks/bench_resunet_probe.py + bench_resunet_levels.py). The r4
+    dispatch had only been validated for correctness and VMEM fit — the
+    headline bench of the time fed unfolded BN params, which skip this
+    dispatch entirely, so the regression never showed there."""
+    import os
+
     from voicefixer_tpu import kernels
-    if kernels.use("convblock"):
+    if kernels.use("convblock") and os.environ.get("VF_TPU_PALLAS_CONVBLOCK"):
         from voicefixer_tpu.kernels import convblock
         tm = convblock.plan_tm(params, x, training)
         if tm is not None:
