@@ -140,3 +140,23 @@ def test_reflection_pad1d():
                 (3, 3), mode="reflect").numpy().transpose(0, 2, 1)
     got = vconv.reflection_pad1d(x, 3)
     np.testing.assert_allclose(np.asarray(got), ref)
+
+
+def test_conv2d_3x3_s2d_matches_conv2d():
+    """Space-to-depth 3x3 conv (experimental, measured slower on-chip —
+    see its docstring) must stay numerically identical to conv2d."""
+    import jax
+    import jax.numpy as jnp
+
+    from voicefixer_tpu.ops.conv import conv2d, conv2d_3x3_s2d
+
+    for (t, f, ci, co) in [(40, 15, 32, 32), (37, 13, 16, 8),
+                           (48, 31, 64, 32)]:
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(k[0], (2, t, f, ci), jnp.float32) * 0.3
+        w = jax.random.normal(k[1], (3, 3, ci, co), jnp.float32) * 0.1
+        b = jax.random.normal(k[2], (co,), jnp.float32) * 0.1
+        ref = conv2d(x, w, b, padding=(1, 1))
+        got = conv2d_3x3_s2d(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -169,6 +169,67 @@ def conv2d_3x3_gemm(x: jnp.ndarray, w: jnp.ndarray,
     return y
 
 
+def conv2d_3x3_s2d(x: jnp.ndarray, w: jnp.ndarray,
+                   b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """3x3 'same' conv via SPACE-TO-DEPTH packing: same math as
+    conv2d(x, w, padding=(1, 1)), restructured for narrow channels.
+
+    The U-Net's shallow levels (C in {32, 64}) starve the MXU's output
+    lanes: a conv with co = 32 fills 32 of 128 result columns, capping any
+    direct or im2col formulation at 25% MXU density (measured r5: enc1
+    ~9-12 TF/s under both lax.conv and conv2d_3x3_gemm). Packing a 2x2
+    spatial block into channels makes the OUTPUT 2*2*co = 128 wide; each
+    packed output position then needs a 4x4 original-resolution input
+    footprint, gathered as 16 stride-2 shifted slices into K = 16*ci. The
+    [rows, 16ci] x [16ci, 4co] GEMM carries 9*4*ci*co useful MACs per row
+    out of 16*ci*4*co issued — 56% density, ~2.2x the ceiling of the
+    unpacked forms. Pure XLA: slices + one einsum + reshapes.
+
+    MEASURED NEGATIVE RESULT (r5, benchmarks/bench_shallow_conv.py on
+    v5e): the 16 stride-2 shifted slices + lane concat cost far more than
+    the MXU density buys back — 13.8 ms vs lax.conv's 0.85 ms at the enc1
+    shape. Kept as the documented record of the experiment (with a parity
+    test); production routing stays on lax.conv for the shallow levels.
+    A VMEM-local gather (Pallas) could revisit this, but the r5 convblock
+    kernel measurements argue XLA's native conv is already strong here.
+    """
+    bsz, t, f, ci = x.shape
+    co = w.shape[-1]
+    t2, f2 = -(-t // 2), -(-f // 2)
+    # index shift: padded row 0 is original row -1; tails cover the 4x4
+    # footprint of the last packed position (original rows up to 2*t2+2)
+    xp = jnp.pad(x, ((0, 0), (1, 2 * t2 + 2 - t), (1, 2 * f2 + 2 - f),
+                     (0, 0)))
+    cols = [xp[:, sy: sy + 2 * t2: 2, sx: sx + 2 * f2: 2, :]
+            for sy in range(4) for sx in range(4)]
+    x16 = jnp.concatenate(cols, axis=-1)  # [B, t2, f2, 16*ci]
+
+    # W' block (sy, sx) -> (qy, qx): original tap (dy, dx) = (sy-1-qy,
+    # sx-1-qx) when it lands in the 3x3 kernel; rest stays zero
+    wb = jnp.zeros((4, 4, ci, 2, 2, co), w.dtype)
+    for sy in range(4):
+        for qy in range(2):
+            dy = sy - 1 - qy
+            if not -1 <= dy <= 1:
+                continue
+            for sx in range(4):
+                for qx in range(2):
+                    dx = sx - 1 - qx
+                    if not -1 <= dx <= 1:
+                        continue
+                    wb = wb.at[sy, sx, :, qy, qx, :].set(w[dy + 1, dx + 1])
+    wmat = wb.reshape(16 * ci, 4 * co)
+
+    y = jnp.einsum("btfk,kc->btfc", x16, wmat,
+                   precision=get_precision(),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y.reshape(bsz, t2, f2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(bsz, 2 * t2, 2 * f2, co)[:, :t, :f, :]
+    if b is not None:
+        y = y + b
+    return y
+
+
 def avg_pool2d(x: jnp.ndarray, window=(2, 2)) -> jnp.ndarray:
     """torch F.avg_pool2d(kernel=window) on NHWC (floor mode == VALID)."""
     y = lax.reduce_window(
