@@ -24,8 +24,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def chained_ms(body, x0, ks=(4, 8), reps=3):
-    """Device ms per application of `body` (a shape-preserving fn)."""
+def chained_ms(body, x0, ks=(4, 8), reps=6):
+    """Device ms per application of `body` (a shape-preserving fn).
+
+    reps are nearly free next to the compile (each is one dispatch + the
+    program), and the tunnel's per-dispatch jitter is the dominant error
+    term — min-of-6 per K keeps the differenced value honest where
+    min-of-3 produced occasional negative rows (r5)."""
     import jax
     import jax.numpy as jnp
 

@@ -521,3 +521,64 @@ def test_res_stream_fold_matches_plain():
                              reach=reach)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_res_stream_interior_fast_path_matches_conv():
+    """T spanning >= 5 tiles engages the r5 interior fast path (unmasked
+    body on steps whose masks are statically all-ones); the output must
+    stay exact against the conv reference across the interior/edge step
+    boundary."""
+    from voicefixer_tpu.kernels import resstack, resstream
+    from voicefixer_tpu.ops.conv import conv1d, leaky_relu
+
+    ch, t, depth = 128, 17000, 8
+    dils = tuple(3 ** (i % 10) for i in range(depth))
+    tt = resstream.stream_lag(dils)
+    assert (t - tt - 8) // tt >= 2, "test shape must engage interior steps"
+    keys = jax.random.split(jax.random.PRNGKey(23), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.02),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.02)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.02),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.02)}}
+              for i in range(depth)]
+    x = _rand(keys[-1], (1, t, ch), 0.3)
+
+    ref = x
+    for p, d in zip(params, dils):
+        h = leaky_relu(ref, 0.2)
+        h = conv1d(h, p["c1"]["w"], p["c1"]["b"], padding=d, dilation=d)
+        h = leaky_relu(h, 0.2)
+        ref = ref + conv1d(h, p["c2"]["w"], p["c2"]["b"], padding=1)
+
+    got = resstream.res_stream(
+        x,
+        jnp.stack([p["c1"]["w"] for p in params]),
+        jnp.stack([p["c1"]["b"] for p in params]),
+        jnp.stack([p["c2"]["w"] for p in params]),
+        jnp.stack([p["c2"]["b"] for p in params]),
+        dils=dils, slope=0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_res_stream_fold_interior_fast_path_matches_plain():
+    """Fold mode (C=64 via res_stack) at a T long enough that interior
+    steps run unmasked: both lane halves' results must match the plain
+    jax path, including the seam region and the half-B tail (the
+    positions the masks exist for)."""
+    from voicefixer_tpu.kernels import resstack
+    from voicefixer_tpu.models.vocoder import _res_stack
+
+    ch, t, depth = 64, 34000, 8
+    keys = jax.random.split(jax.random.PRNGKey(29), depth * 4 + 1)
+    params = [{"c1": {"w": _rand(keys[4 * i], (3, ch, ch), 0.02),
+                      "b": _rand(keys[4 * i + 1], (ch,), 0.02)},
+               "c2": {"w": _rand(keys[4 * i + 2], (3, ch, ch), 0.02),
+                      "b": _rand(keys[4 * i + 3], (ch,), 0.02)}}
+              for i in range(depth)]
+    x = _rand(keys[-1], (1, t, ch), 0.3)
+    ref, activated = _res_stack(params, x, 3, 0.2)
+    assert not activated
+    got = resstack.res_stack(params, x, 3, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)

@@ -194,6 +194,16 @@ def _stream_kernel(*refs, tt: int,
     prec = (jax.lax.Precision.HIGHEST if acc_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
+    # measurement-only ablations (numerically WRONG output; trace-time
+    # static): "nomask" skips every position-mask build+multiply,
+    # "noact" additionally replaces both leaky-relu passes with identity —
+    # benchmarks/bench_res3_ablate.py uses these to attribute the fold
+    # kernel's gap over its MXU floor to specific VPU passes
+    import os as _os
+    _ablate = _os.environ.get("VF_TPU_STREAM_ABLATE", "")
+    _skip_mask = _ablate in ("nomask", "noact")
+    _skip_act = _ablate == "noact"
+
     # mask dtype: 0/1 (and the -1..1 fold combination) are exact in bf16,
     # and the acc-width mask halves the fold-mode transient's VMEM cost
     mdt = acc_dtype
@@ -272,96 +282,126 @@ def _stream_kernel(*refs, tt: int,
     # base position of the current input tile; each block's coordinates
     # hang off it at static offsets
     base = step * tt
-    # The fresh tile is masked once IF it can carry out-of-signal values:
-    # the fused upsample's z = a@W + b_up has the bias everywhere, and
-    # sequence-parallel halos hold real neighbor data. The plain paths'
-    # inputs are zero-padded in HBM already (res_stream pads x_p; the fold
-    # caller pads each half), so the invariant holds for free there.
-    need_in_mask = (up_scale is not None) or (bounds_ref is not None)
-    if need_in_mask:
-        m_in = row_mask(tt, base)
-    cum = 0  # cumulative lag before block i
-    for i, d in enumerate(dils):
-        lag = lags[i]
-        hist_rows = lag + d + 8          # covers [a - d - 8, prev newest)
-        s_rows = tt + hist_rows          # slab = [history | fresh]
-        h0 = hist_off[i]
-        cum += lag
-        a0 = base - cum                  # first output row of this block
 
-        # assemble the slab: history, then this step's fresh tile. Block
-        # i > 0's fresh region was already written by block i-1's epilogue
-        # (its y goes straight into this block's slab slot — no inter-block
-        # buffer, no extra VMEM copy), so only the history rows move here.
-        slab_s[pl.ds(0, hist_rows), :] = hist_s[pl.ds(h0, hist_rows), :]
-        if i == 0:
-            fin = fresh if up_scale else dma_s[slot]
-            if need_in_mask:
-                fin = (fin.astype(jnp.float32) * m_in).astype(slab_s.dtype)
-            slab_s[pl.ds(hist_rows, tt), :] = fin
-        # save the next step's history BEFORE any in-place math
-        hist_s[pl.ds(h0, hist_rows), :] = slab_s[pl.ds(tt, hist_rows), :]
+    def chain(use_mask):
+        """The whole block chain for this step, writing slab/hist/out refs.
+        use_mask=False drops every position-mask build and multiply —
+        valid (exact) on interior steps where all masks are statically
+        all-ones; also the measurement-only ablation body."""
+        # The fresh tile is masked once IF it can carry out-of-signal
+        # values: the fused upsample's z = a@W + b_up has the bias
+        # everywhere, and sequence-parallel halos hold real neighbor data.
+        # The plain paths' inputs are zero-padded in HBM already
+        # (res_stream pads x_p; the fold caller pads each half), so the
+        # invariant holds for free there.
+        need_in_mask = ((up_scale is not None) or (bounds_ref is not None)) \
+            and use_mask
+        if need_in_mask:
+            m_in = row_mask(tt, base)
+        cum = 0  # cumulative lag before block i
+        for i, d in enumerate(dils):
+            lag = lags[i]
+            hist_rows = lag + d + 8      # covers [a - d - 8, prev newest)
+            s_rows = tt + hist_rows      # slab = [history | fresh]
+            h0 = hist_off[i]
+            cum += lag
+            a0 = base - cum              # first output row of this block
 
-        # conv1 (k3 dilation d): h rows cover [a0 - 8, a0 + tt + 8);
-        # tap j of h row r reads slab row r + j*d (slab row 0 is global
-        # a0 - d - 8). The zero invariant means taps need no masking, and
-        # one lrelu pass over the slab serves all three taps (per tap only
-        # for huge-dilation slabs, where the activated copy's VMEM cost
-        # outweighs the saved VPU work).
-        wh = tt + 16
-        m = row_mask(wh, a0 - 8)
-        if s_rows <= tt + ACT_SLAB_EXTRA:
-            s32 = slab_s[pl.ds(0, s_rows), :].astype(jnp.float32)
-            act = jnp.where(s32 > 0, s32, slope * s32).astype(acc_dtype)
+            # assemble the slab: history, then this step's fresh tile.
+            # Block i > 0's fresh region was already written by block
+            # i-1's epilogue (its y goes straight into this block's slab
+            # slot — no inter-block buffer, no extra VMEM copy), so only
+            # the history rows move here.
+            slab_s[pl.ds(0, hist_rows), :] = hist_s[pl.ds(h0, hist_rows), :]
+            if i == 0:
+                fin = fresh if up_scale else dma_s[slot]
+                if need_in_mask:
+                    fin = (fin.astype(jnp.float32)
+                           * m_in).astype(slab_s.dtype)
+                slab_s[pl.ds(hist_rows, tt), :] = fin
+            # save the next step's history BEFORE any in-place math
+            hist_s[pl.ds(h0, hist_rows), :] = slab_s[pl.ds(tt, hist_rows), :]
 
-            def _tap(j, d=d, act=act):
-                return act[j * d: j * d + wh]
-        else:
-            # huge-dilation slabs activate per tap slice; the tap is
-            # computed INSIDE the dot loop (immediately before its dot) so
-            # only one (tt+16)-row activated slice is ever live — three
-            # simultaneous slices would put the d=2187 block ~1 MB over
-            # the 16 MB VMEM limit (_trans_bytes charges one slice)
-            def _tap(j, d=d):
-                x32 = slab_s[pl.ds(j * d, wh), :].astype(jnp.float32)
-                return jnp.where(x32 > 0, x32,
-                                 slope * x32).astype(acc_dtype)
-        h = None
-        for j in range(3):
-            dot = jnp.dot(_tap(j), w1_ref[i, pl.ds(j * ch, ch), :],
-                          precision=prec,
-                          preferred_element_type=jnp.float32)
-            h = dot if h is None else h + dot
-        # conv2's 'same' zero padding pads its INPUT lrelu(h): one lrelu
-        # pass + one multiply by the 0/1 row mask (== the r3 select chain,
-        # since lrelu(0) == 0)
-        hb = ((lambda v: jnp.where(v > 0, v, slope * v))(h + b1_ref[i])
-              * m).astype(acc_dtype)
+            # conv1 (k3 dilation d): h rows cover [a0 - 8, a0 + tt + 8);
+            # tap j of h row r reads slab row r + j*d (slab row 0 is
+            # global a0 - d - 8). The zero invariant means taps need no
+            # masking, and one lrelu pass over the slab serves all three
+            # taps (per tap only for huge-dilation slabs, where the
+            # activated copy's VMEM cost outweighs the saved VPU work).
+            wh = tt + 16
+            m = row_mask(wh, a0 - 8) if use_mask else None
+            if _skip_act:
+                def _tap(j, d=d):
+                    return slab_s[pl.ds(j * d, wh), :].astype(acc_dtype)
+            elif s_rows <= tt + ACT_SLAB_EXTRA:
+                s32 = slab_s[pl.ds(0, s_rows), :].astype(jnp.float32)
+                act = jnp.where(s32 > 0, s32, slope * s32).astype(acc_dtype)
 
-        # conv2 (k3 dilation 1) + residual over [a0, a0 + tt)
-        y = None
-        for j in range(3):
-            dot = jnp.dot(hb[7 + j: 7 + j + tt],
-                          w2_ref[i, pl.ds(j * ch, ch), :],
-                          precision=prec,
-                          preferred_element_type=jnp.float32)
-            y = dot if y is None else y + dot
-        y = (y + b2_ref[i]
-             + slab_s[pl.ds(d + 8, tt), :].astype(jnp.float32)) * m[8: 8 + tt]
+                def _tap(j, d=d, act=act):
+                    return act[j * d: j * d + wh]
+            else:
+                # huge-dilation slabs activate per tap slice; the tap is
+                # computed INSIDE the dot loop (immediately before its
+                # dot) so only one (tt+16)-row activated slice is ever
+                # live — three simultaneous slices would put the d=2187
+                # block ~1 MB over the 16 MB VMEM limit (_trans_bytes
+                # charges one slice)
+                def _tap(j, d=d):
+                    x32 = slab_s[pl.ds(j * d, wh), :].astype(jnp.float32)
+                    return jnp.where(x32 > 0, x32,
+                                     slope * x32).astype(acc_dtype)
+            h = None
+            for j in range(3):
+                dot = jnp.dot(_tap(j), w1_ref[i, pl.ds(j * ch, ch), :],
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
+                h = dot if h is None else h + dot
+            # conv2's 'same' zero padding pads its INPUT lrelu(h): one
+            # lrelu pass + one multiply by the 0/1 row mask (== the r3
+            # select chain, since lrelu(0) == 0)
+            hb = h + b1_ref[i]
+            if not _skip_act:
+                hb = jnp.where(hb > 0, hb, slope * hb)
+            if use_mask:
+                hb = hb * m
+            hb = hb.astype(acc_dtype)
 
-        if i + 1 < len(dils):
-            # block i+1's slab = [its history | y]: place y at its fresh
-            # offset now (all of block i's slab reads are done; the next
-            # iteration only fills rows [0, its hist_rows) on top)
-            nh = lags[i + 1] + dils[i + 1] + 8
-            slab_s[pl.ds(nh, tt), :] = y.astype(slab_s.dtype)
-        else:
-            if final_slope is not None:
-                # stage-final activation folded into the epilogue
-                # (generator.py:94: LeakyReLU after every ResStack);
-                # lrelu(0) == 0 keeps the already-applied mask intact
-                y = jnp.where(y > 0, y, final_slope * y)
-            out_ref[0, :, :] = y.astype(out_ref.dtype)
+            # conv2 (k3 dilation 1) + residual over [a0, a0 + tt)
+            y = None
+            for j in range(3):
+                dot = jnp.dot(hb[7 + j: 7 + j + tt],
+                              w2_ref[i, pl.ds(j * ch, ch), :],
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
+                y = dot if y is None else y + dot
+            y = (y + b2_ref[i]
+                 + slab_s[pl.ds(d + 8, tt), :].astype(jnp.float32))
+            if use_mask:
+                y = y * m[8: 8 + tt]
+
+            if i + 1 < len(dils):
+                # block i+1's slab = [its history | y]: place y at its
+                # fresh offset now (all of block i's slab reads are done;
+                # the next iteration only fills rows [0, its hist_rows))
+                nh = lags[i + 1] + dils[i + 1] + 8
+                slab_s[pl.ds(nh, tt), :] = y.astype(slab_s.dtype)
+            else:
+                if final_slope is not None:
+                    # stage-final activation folded into the epilogue
+                    # (generator.py:94: LeakyReLU after every ResStack);
+                    # lrelu(0) == 0 keeps the already-applied mask intact
+                    y = jnp.where(y > 0, y, final_slope * y)
+                out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+    # Masking runs on EVERY step. The masks are statically all-ones on
+    # interior steps, and the ablations price them at ~1.6 ms of the fused
+    # stage's 13.4 ms (benchmarks/bench_res3_ablate.py) — but the r5
+    # attempt to branch per step (pl.when(interior) -> unmasked body,
+    # else masked) measured ~2 ms SLOWER than always-masked: the branch
+    # boundary defeats Mosaic's cross-step software pipelining (DMA waits
+    # sit outside the branches; compute inside), costing more than the
+    # mask work it saves. Single body, single schedule.
+    chain(not _skip_mask)
 
 
 def _stack_w(ws, dtype):
