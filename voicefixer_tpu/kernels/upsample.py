@@ -105,29 +105,45 @@ def _pack_weights(w: jnp.ndarray, co_blk: int):
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def plan(cin: int, cout: int, scale: int, t_tile: int):
+def plan(cin: int, cout: int, scale: int, t_tile: int,
+         isz: int = 2, wsz: int = 2):
     """(t_tile, co_blk) fitting the VMEM budget, or None when even the
     minimum (tile 128, 128-lane Cout block) cannot fit — wide-channel
-    stages fall back to the jax polyphase path. Footprint: x scratch +
-    sin value (L*Cin), z2 + z, triple-buffered out, double-buffered
-    weight bank."""
+    stages fall back to the jax polyphase path.
+
+    Footprint at TRUE dtype sizes (isz = activation bytes, wsz = matmul
+    bytes): double-buffered x scratch, the fp32 cast + activated copy,
+    fp32 z, triple-buffered out, ONE resident weight bank (its index map
+    is grid-constant, so Pallas keeps a single copy). The r4 model
+    charged everything at 4 bytes and double-counted the weights, which
+    at the production stage-1 shape (1024x14x512 -> wait, 512->256 x7)
+    forced (tile 256, co_blk 128, n_co 2): TWO full input sweeps plus an
+    XLA lane concat of two full-rate halves. Preferring a full-Cout
+    block over a larger tile (the co_blk > 128 test runs FIRST) keeps
+    n_co == 1 for every production stage."""
+    t_cap = max(128, t_tile)
+
+    def fits(tt, co_blk):
+        length = tt + 16
+        return (2 * length * cin * isz                    # x_s double buffer
+                + length * cin * 4                        # fp32 cast
+                + length * cin * wsz                      # activated a
+                + tt * scale * co_blk * 4                 # fp32 z
+                + 3 * tt * scale * co_blk * isz           # out (pipelined)
+                + 2 * cin * scale * co_blk * wsz          # weight bank
+                ) <= VMEM_BUDGET
     co_blk = cout
-    t_tile = max(128, t_tile)
-    while True:
-        length = t_tile + 16
-        need = 4 * (3 * length * cin                        # 2 x_s + sin val
-                    + t_tile * 2 * cin                      # a2
-                    + t_tile * scale * co_blk               # z
-                    + 3 * t_tile * scale * co_blk           # out
-                    + 2 * 2 * cin * scale * co_blk)         # weights
-        if need <= VMEM_BUDGET:
-            return t_tile, co_blk
+    while co_blk >= 128 or co_blk == cout:
+        tt = t_cap
+        while tt >= 128:
+            if fits(tt, co_blk):
+                return tt, co_blk
+            tt //= 2
         if co_blk > 128 and co_blk % 2 == 0:
             co_blk //= 2
-        elif t_tile > 128:
-            t_tile //= 2
         else:
             return None
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "t_tile",
@@ -150,8 +166,10 @@ def upsample(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, scale: int,
                        matmul_dtype=matmul_dtype, interpret=interpret)
         return out[..., :cout]
 
-    planned = plan(cin, cout, scale, t_tile) if not interpret else \
-        (min(t_tile, max(8, t_total)), cout)
+    planned = plan(cin, cout, scale, t_tile,
+                   isz=jnp.dtype(x.dtype).itemsize,
+                   wsz=jnp.dtype(matmul_dtype).itemsize) \
+        if not interpret else (min(t_tile, max(8, t_total)), cout)
     if planned is None:
         from voicefixer_tpu.ops.conv import conv_transpose1d
         a = x + jnp.sin(x)
